@@ -1,0 +1,96 @@
+"""Per-iteration checkpoint / lineage / resume for iterative graph jobs.
+
+Iceberg-snapshot semantics on plain partitioned parquet (no Iceberg jars
+in this sandbox — the layout maps 1:1 onto ``df.writeTo(tbl).append()``
+plus a snapshot-metadata table when a catalog is available):
+
+    <root>/<algo>/state/iteration=<k>/   parquet state for iteration k
+    <root>/<algo>/_meta/                 append-only lineage table
+
+``_meta`` schema (FIXTURES.md F4):
+    algo, iteration, rows, agg_value (e.g. sum of ranks), delta_max,
+    wall_ms, status
+
+Commit protocol (crash-safe without atomic renames):
+  1. write state parquet for iteration k (directory write is idempotent —
+     a re-run overwrites the same path);
+  2. only then append the _meta row with status='complete'.
+A killed job leaves either no directory or an un-acknowledged directory;
+resume reads max(iteration) WHERE status='complete' and overwrites any
+torn k+1 directory. This mirrors the reference's skip-if-done + cache
+reload (/root/reference/src/rad_ecg/scripts/peak_detect_v4.py:1850-1853,
+porcine/stumpy_fluss_phase_angle.py:688-721).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("algo", T.StringType()),
+        T.StructField("iteration", T.IntegerType()),
+        T.StructField("rows", T.LongType()),
+        T.StructField("agg_value", T.DoubleType()),
+        T.StructField("delta_max", T.DoubleType()),
+        T.StructField("wall_ms", T.LongType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+class CheckpointManager:
+    """Snapshot state per iteration; resume from the last complete one."""
+
+    def __init__(self, spark: SparkSession, root: str, algo: str):
+        self.spark = spark
+        self.root = root
+        self.algo = algo
+        self._t0 = time.monotonic()
+
+    def _state_dir(self, iteration: int) -> str:
+        return os.path.join(self.root, self.algo, "state", f"iteration={iteration}")
+
+    def _meta_dir(self) -> str:
+        return os.path.join(self.root, self.algo, "_meta")
+
+    def commit(
+        self,
+        iteration: int,
+        state: DataFrame,
+        rows: int,
+        agg_value: float,
+        delta_max: float,
+    ) -> None:
+        wall_ms = int((time.monotonic() - self._t0) * 1000)
+        self._t0 = time.monotonic()
+        state.write.mode("overwrite").parquet(self._state_dir(iteration))
+        meta = self.spark.createDataFrame(
+            [(self.algo, iteration, rows, float(agg_value), float(delta_max), wall_ms, "complete")],
+            META_SCHEMA,
+        )
+        meta.coalesce(1).write.mode("append").parquet(self._meta_dir())
+
+    def last_complete(self) -> int | None:
+        """Max complete iteration, or None if no checkpoint exists."""
+        try:
+            meta = self.spark.read.parquet(self._meta_dir())
+        except Exception:
+            return None
+        row = (
+            meta.filter(F.col("status") == "complete")
+            .agg(F.max("iteration").alias("it"))
+            .collect()[0]
+        )
+        return None if row["it"] is None else int(row["it"])
+
+    def load_state(self, iteration: int) -> DataFrame:
+        return self.spark.read.parquet(self._state_dir(iteration))
+
+    def meta(self) -> DataFrame:
+        return self.spark.read.parquet(self._meta_dir())
