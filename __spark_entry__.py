@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship pipeline (derived link graph -> PageRank ->
+top customers by rank). ``queries``/``oracle_sql`` expose every
+implemented operator from SURVEY.md §2 with DuckDB-checkable semantics
+(see rad_ecg_spark/queries/__init__.py for the float-determinism
+policy).
 """
 
 from __future__ import annotations
@@ -12,27 +12,34 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: edge table derived from orders -> PageRank to 1e-6 ->
+    top-20 vertices joined back to customer names."""
+    from rad_ecg_spark.operators.pagerank import pagerank
+    from rad_ecg_spark.queries.graph import derived_edges
+
+    sf_dir = "/root/testdata/sf0.001"
+    edges = derived_edges(spark, sf_dir)
+    ranks = pagerank(edges, tol=1e-6, max_iter=60)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        ranks.join(cust, ranks.id == cust.c_custkey, "left")
+        .select("id", "rank", "c_name", "c_mktsegment")
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from rad_ecg_spark.queries import ALL_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(ALL_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from rad_ecg_spark.queries import ALL_ORACLES
+
+    return dict(ALL_ORACLES)

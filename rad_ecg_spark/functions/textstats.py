@@ -1,0 +1,90 @@
+"""Text analysis for training-data pipelines: tokenization, quality
+scoring, language ID, fingerprinting — all JVM-side expressions (no
+UDFs), so they run inside whole-stage codegen at scan speed.
+
+Reference capability donors: fail-reason gate strings
+(/root/reference/src/rad_ecg/scripts/peak_detect_v4.py:208-233), SQI
+quality metrics (peak_detect_v4.py:132-233) re-expressed for text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny public stopword seeds per language for the n-gram/marker heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "nicht"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+}
+
+STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def words(col: Column) -> Column:
+    """Lower-cased alphanumeric word array (deterministic, engine-portable
+    semantics: split on one-or-more non-alphanumerics, drop empties)."""
+    return F.filter(
+        F.split(F.lower(col), r"[^a-z0-9]+"), lambda w: w != F.lit("")
+    )
+
+
+def n_tokens(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def punct_count(col: Column) -> Column:
+    """Number of punctuation characters (.,!?;:)."""
+    return F.length(col) - F.length(F.regexp_replace(col, r"[.,!?;:]", ""))
+
+
+def stopword_count(col: Column) -> Column:
+    return F.size(F.filter(words(col), lambda w: w.isin(*STOPWORDS_EN)))
+
+
+def marker_count(col: Column, lang: str) -> Column:
+    """Occurrences of a language's marker words."""
+    ws = words(col)
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(ws, lambda w: w.isin(*markers)))
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of marker-word hits, ties broken by
+    language code order; 'und' when no marker hits at all."""
+    pairs = F.array(
+        *[
+            F.struct(
+                (-marker_count(col, lg)).alias("neg_hits"), F.lit(lg).alias("lg")
+            )
+            for lg in sorted(LANG_MARKERS)
+        ]
+    )
+    best = F.array_min(pairs)
+    return F.when(best["neg_hits"] == 0, F.lit("und")).otherwise(best["lg"])
+
+
+def quality_score(col: Column) -> Column:
+    """Integer 0-100 quality score from length/punct/stopword signals —
+    arithmetic only, so the DuckDB oracle can reproduce it exactly."""
+    nt = n_tokens(col)
+    chars = F.length(col)
+    # each signal contributes 0..25; floor() keeps double->int conversion
+    # identical across engines (Spark cast truncates, DuckDB cast rounds)
+    len_pts = F.least(F.lit(25), F.floor(nt * 25 / F.lit(40)).cast("int"))
+    char_pts = F.least(F.lit(25), F.floor(chars * 25 / F.lit(300)).cast("int"))
+    stop_pts = F.least(
+        F.lit(25), F.floor(stopword_count(col) * 25 / F.lit(5)).cast("int")
+    )
+    punct_pts = F.least(
+        F.lit(25), F.floor(punct_count(col) * 25 / F.lit(3)).cast("int")
+    )
+    return (len_pts + char_pts + stop_pts + punct_pts).alias("quality")
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowered text.
+    Exact-dup key (content-defined, layout-insensitive)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))

@@ -1,0 +1,17 @@
+"""Query registry: every implemented operator exposed as
+(spark, sf_dir) -> DataFrame plus a DuckDB-equivalent oracle SQL string.
+
+Float-determinism policy for oracle comparison: unordered SUM/AVG over
+doubles differs between engines in the last ulp, so every aggregated
+monetary/value column goes through a per-row exact cast
+(cents = CAST(ROUND(x*100) AS BIGINT)) before summing, or is rounded
+with a margin far wider than accumulated fp error. Raw (non-aggregated)
+doubles hash identically and are passed through untouched.
+"""
+
+from rad_ecg_spark.queries.graph import GRAPH_ORACLES, GRAPH_QUERIES
+from rad_ecg_spark.queries.relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES
+from rad_ecg_spark.queries.textops import TEXT_ORACLES, TEXT_QUERIES
+
+ALL_QUERIES = {**GRAPH_QUERIES, **RELATIONAL_QUERIES, **TEXT_QUERIES}
+ALL_ORACLES = {**GRAPH_ORACLES, **RELATIONAL_ORACLES, **TEXT_ORACLES}

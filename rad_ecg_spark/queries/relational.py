@@ -1,0 +1,692 @@
+"""Relational operator coverage (SURVEY.md §2) over the TPC-H-ish
+testdata, each with an exact DuckDB oracle.
+
+Operator → reference capability mapping is in each docstring. All
+aggregates over doubles use the cents-bigint policy (see queries/
+__init__.py) so value hashes match the oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col):
+    return F.round(col * 100).cast("long")
+
+
+# --- 1. pricing summary (TPC-H Q1 shape; groupBy + multi-agg) ---------
+# ref analog: per-section multi-metric aggregation, peak_detect_v4.py:1585-1637
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_c"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_c"),
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_c"),
+            F.sum(
+                _cents(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                )
+            ).alias("sum_charge_c"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+
+# --- 2. inter-event interval stats (HR/SDNN/RMSSD analog) --------------
+# ref: RR-interval stats per section, peak_detect_v4.py:1585-1606
+
+def q_interval_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (
+        ev.withColumn("prev_ms", F.lag(F.unix_millis(F.col("ts").cast("timestamp"))).over(w))
+        .filter(F.col("prev_ms").isNotNull())
+        # integer-div to seconds: keeps sum-of-squares inside int64 at
+        # any scale factor (ms² sums would overflow ANSI long)
+        .withColumn(
+            "diff_s", F.expr("(unix_millis(cast(ts as timestamp)) - prev_ms) div 1000")
+        )
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("diff_s").alias("sum_s"),
+            F.sum(F.col("diff_s") * F.col("diff_s")).alias("sum_s2"),
+        )
+        # filter BEFORE the formula: n=1 would hit ANSI division-by-zero
+        .filter(F.col("n_intervals") >= 2)
+        .withColumn(
+            # SDNN-style: explicit two-pass formula over EXACT integer
+            # sums -> identical doubles in both engines
+            "sdnn_e6",
+            F.round(
+                F.sqrt(
+                    (
+                        F.col("sum_s2")
+                        - F.col("sum_s") * F.col("sum_s") / F.col("n_intervals")
+                    )
+                    / (F.col("n_intervals") - 1)
+                )
+                * 1e6
+            ).cast("long"),
+        )
+    )
+
+
+ORACLE_INTERVALS = """
+WITH d AS (
+  SELECT user_id,
+         (epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000 AS diff_s
+  FROM events
+), g AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+         CAST(sum(diff_s) AS BIGINT) AS sum_s,
+         CAST(sum(diff_s*diff_s) AS BIGINT) AS sum_s2
+  FROM d WHERE diff_s IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_intervals, sum_s, sum_s2,
+  CAST(round(sqrt((sum_s2 - CAST(sum_s AS DOUBLE)*sum_s/n_intervals)/(n_intervals-1)) * 1e6) AS BIGINT) AS sdnn_e6
+FROM g WHERE n_intervals >= 2"""
+
+
+# --- 3. sessionization (gaps-and-islands) ------------------------------
+# ref: run grouping / split-on-gap, peak_detect_v4.py:1350-1353
+
+def q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = 30 * 60 * 1000  # 30 min in ms
+    s = (
+        ev.withColumn("prev_ms", F.lag(F.unix_millis(F.col("ts").cast("timestamp"))).over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ms").isNull()
+                | (F.unix_millis(F.col("ts").cast("timestamp")) - F.col("prev_ms") > gap),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+    )
+    per_sess = s.groupBy("user_id", "sess_id").agg(F.count(F.lit(1)).alias("n"))
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n").alias("max_session_events"),
+        F.sum("n").alias("n_events"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH s AS (
+  SELECT user_id, event_id,
+    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+         THEN 1 ELSE 0 END AS new_sess, ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s2 AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+  FROM s
+), per_sess AS (
+  SELECT user_id, sess_id, count(*) AS n FROM s2 GROUP BY user_id, sess_id
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(n) AS BIGINT) AS max_session_events,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM per_sess GROUP BY user_id"""
+
+
+# --- 4. longest valid streak (consecutive_valid_peaks analog) ----------
+# ref: streak detection, peak_detect_v4.py:970-985
+
+def q_longest_streak(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        ev.withColumn("valid", (F.col("value") > 250).cast("int"))
+        .withColumn("inv_run", F.sum(1 - F.col("valid")).over(w))
+    )
+    runs = (
+        s.filter(F.col("valid") == 1)
+        .groupBy("user_id", "inv_run")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return runs.groupBy("user_id").agg(F.max("len").alias("longest_streak"))
+
+
+ORACLE_STREAK = """
+WITH s AS (
+  SELECT user_id,
+    CASE WHEN value > 250 THEN 1 ELSE 0 END AS valid,
+    sum(CASE WHEN value > 250 THEN 0 ELSE 1 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS inv_run
+  FROM events
+), runs AS (
+  SELECT user_id, inv_run, count(*) AS len FROM s WHERE valid = 1
+  GROUP BY user_id, inv_run
+)
+SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY user_id"""
+
+
+# --- 5. top-k per group (spectral-harmonics top-4 analog) ---------------
+# ref: porcine/pig_extract.py:2222-2234
+
+def q_topk_per_group(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "rk", "p_partkey", "p_retailprice")
+    )
+
+
+ORACLE_TOPK = """
+SELECT p_brand, CAST(rk AS INT) AS rk, p_partkey, p_retailprice FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+  FROM part) WHERE rk <= 3"""
+
+
+# --- 6. range (interval) join: price bands ------------------------------
+# ref: interval containment join, peak_detect_v4.py:1610-1615
+
+BANDS = [(0.0, 930.0, "low"), (930.0, 970.0, "mid"), (970.0, 1e9, "high")]
+
+
+def q_range_join_bands(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(BANDS, "lo double, hi double, band string")
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(_cents(F.col("p_retailprice"))).alias("sum_price_c"),
+        )
+    )
+
+
+ORACLE_BANDS = """
+WITH bands(lo, hi, band) AS (VALUES (0.0, 930.0, 'low'),
+                                    (930.0, 970.0, 'mid'),
+                                    (970.0, 1000000000.0, 'high'))
+SELECT band, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band"""
+
+
+# --- 7. as-of join (discord <-> invalid-peak tolerance match analog) ----
+# ref: ml/anomaly/stump_anom.py:92-103
+
+def q_asof_purchase_click(spark, sf_dir):
+    """For each purchase, the most recent prior click by the same user.
+    Implemented scalably as a union + running last_value, not a
+    per-row subquery."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ets"), F.col("event_id").alias("eid"),
+        F.lit(0).alias("is_p"), F.lit(None).cast("long").alias("p_eid"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ets"), F.col("event_id").alias("eid"),
+        F.lit(1).alias("is_p"), F.col("event_id").alias("p_eid"),
+    )
+    # order by (ts, is_p, eid): a click at the exact same ts sorts before
+    # the purchase, matching ASOF's ts >= semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ets", "is_p", "eid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = clicks.unionByName(purch).withColumn(
+        "last_click",
+        F.last(F.when(F.col("is_p") == 0, F.col("eid")), ignorenulls=True).over(w),
+    )
+    return (
+        tagged.filter((F.col("is_p") == 1) & F.col("last_click").isNotNull())
+        .select(
+            F.col("eid").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("last_click").alias("click_id"),
+        )
+    )
+
+
+ORACLE_ASOF = """
+SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts"""
+
+
+# --- 8. IQR outlier gate (porcine IQR filter analog) --------------------
+# ref: porcine/pig_extract.py:2459-2492
+
+def q_iqr_outliers(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    j = ev.join(F.broadcast(q), "event_type")
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        j.withColumn(
+            "is_outlier",
+            (
+                (F.col("value") < F.col("q1") - 1.5 * iqr)
+                | (F.col("value") > F.col("q3") + 1.5 * iqr)
+            ).cast("int"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_outlier").alias("n_outliers"),
+        )
+    )
+
+
+ORACLE_IQR = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN e.value < q.q1 - 1.5*(q.q3-q.q1)
+                  OR e.value > q.q3 + 1.5*(q.q3-q.q1)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type"""
+
+
+# --- 9. mode per group (label-attach analog) ----------------------------
+# ref: porcine/pig_extract.py:1007
+
+def q_mode_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("user_id").agg(
+        F.min_by(
+            "event_type", F.struct((-F.col("c")).alias("nc"), F.col("event_type"))
+        ).alias("modal_type"),
+        F.max("c").alias("modal_count"),
+    )
+
+
+ORACLE_MODE = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, event_type, c,
+         row_number() OVER (PARTITION BY user_id ORDER BY c DESC, event_type) AS rn
+  FROM counts
+)
+SELECT user_id, event_type AS modal_type, CAST(c AS BIGINT) AS modal_count
+FROM r WHERE rn = 1"""
+
+
+# --- 10. semi/anti joins (set membership analog) ------------------------
+# ref: set ops, peak_detect_v4.py:1713-1723
+
+def q_semi_anti(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    with_o = cust.join(orders, "c_custkey", "left_semi")
+    without_o = cust.join(orders, "c_custkey", "left_anti")
+    return (
+        with_o.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+        .join(
+            without_o.groupBy("c_mktsegment").agg(
+                F.count(F.lit(1)).alias("n_without_orders")
+            ),
+            "c_mktsegment",
+            "outer",
+        )
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+ORACLE_SEMI_ANTI = """
+WITH w AS (
+  SELECT c_mktsegment, count(*) AS n FROM customer c
+  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  GROUP BY 1
+), wo AS (
+  SELECT c_mktsegment, count(*) AS n FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  GROUP BY 1
+)
+SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+       CAST(coalesce(w.n, 0) AS BIGINT) AS n_with_orders,
+       CAST(coalesce(wo.n, 0) AS BIGINT) AS n_without_orders
+FROM w FULL OUTER JOIN wo USING (c_mktsegment)"""
+
+
+# --- 11. multi-gate fail-reason classification (SQI gates analog) -------
+# ref: threshold gates + reason strings, peak_detect_v4.py:208-233
+
+def q_fail_reasons(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    reason = F.concat_ws(
+        "|",
+        F.when(F.col("value") < 1.0, F.lit("low_value")),
+        F.when(F.col("event_type") == "error", F.lit("error_type")),
+        F.when(F.hour("ts") < 6, F.lit("night")),
+    )
+    return (
+        ev.withColumn(
+            "fail_reason",
+            F.when(reason == "", F.lit("ok")).otherwise(reason),
+        )
+        .groupBy("fail_reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_FAIL_REASONS = """
+WITH t AS (
+  SELECT concat_ws('|',
+    CASE WHEN value < 1.0 THEN 'low_value' END,
+    CASE WHEN event_type = 'error' THEN 'error_type' END,
+    CASE WHEN EXTRACT(hour FROM ts) < 6 THEN 'night' END) AS r
+  FROM events
+)
+SELECT CASE WHEN r = '' THEN 'ok' ELSE r END AS fail_reason,
+       CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY 1"""
+
+
+# --- 12. rolling exact median (roll_med analog) --------------------------
+# ref: utils.py:54-76 (centered rolling median)
+
+def q_rolling_median(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    return ev.select(
+        "event_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w) * 100)
+        .cast("long")
+        .alias("roll_med_c"),
+    )
+
+
+ORACLE_ROLLING_MEDIAN = """
+SELECT event_id,
+  CAST(round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) * 100) AS BIGINT) AS roll_med_c
+FROM events"""
+
+
+# --- 13. per-group baseline normalization --------------------------------
+# ref: porcine/pig_extract.py:3237-3279
+
+def q_baseline_norm(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "vc", _cents(F.col("value"))
+    )
+    base = (
+        r.filter(F.col("rn") <= 10)
+        .groupBy("user_id")
+        .agg(
+            F.sum("vc").alias("bl_sum"),
+            F.count(F.lit(1)).alias("bl_n"),
+        )
+    )
+    return (
+        r.join(F.broadcast(base), "user_id")
+        .select(
+            "event_id",
+            (F.col("vc") - F.col("bl_sum") / F.col("bl_n"))
+            .cast("double")
+            .alias("delta_c"),
+        )
+        .withColumn("delta_c", F.round(F.col("delta_c") * 1e6).cast("long"))
+    )
+
+
+ORACLE_BASELINE = """
+WITH r AS (
+  SELECT event_id, user_id,
+         CAST(round(value*100) AS BIGINT) AS vc,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), base AS (
+  SELECT user_id, sum(vc) AS bl_sum, count(*) AS bl_n
+  FROM r WHERE rn <= 10 GROUP BY user_id
+)
+SELECT r.event_id,
+  CAST(round((r.vc - CAST(base.bl_sum AS DOUBLE)/base.bl_n) * 1e6) AS BIGINT) AS delta_c
+FROM r JOIN base USING (user_id)"""
+
+
+# --- 14. similarity join (fuzzy channel-name match analog) ---------------
+# ref: porcine/pig_extract.py:1458-1532
+
+def q_levenshtein_match(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select("c_name")
+    )
+    pairs = sup.crossJoin(F.broadcast(cust)).withColumn(
+        "lev", F.levenshtein("s_name", "c_name")
+    )
+    best = pairs.groupBy("s_suppkey").agg(F.min("lev").alias("min_lev"))
+    return (
+        pairs.join(best, "s_suppkey")
+        .filter(F.col("lev") == F.col("min_lev"))
+        .groupBy("s_suppkey", "min_lev")
+        .agg(F.count(F.lit(1)).alias("n_best"), F.min("c_name").alias("first_match"))
+    )
+
+
+ORACLE_LEVENSHTEIN = """
+WITH pairs AS (
+  SELECT s_suppkey, c_name, levenshtein(s_name, c_name) AS lev
+  FROM supplier, customer WHERE c_custkey <= 200
+), best AS (
+  SELECT s_suppkey, min(lev) AS min_lev FROM pairs GROUP BY s_suppkey
+)
+SELECT p.s_suppkey, CAST(b.min_lev AS INT) AS min_lev,
+       CAST(count(*) AS BIGINT) AS n_best, min(p.c_name) AS first_match
+FROM pairs p JOIN best b ON p.s_suppkey = b.s_suppkey AND p.lev = b.min_lev
+GROUP BY p.s_suppkey, b.min_lev"""
+
+
+# --- 15. tumbling-window aggregation (streaming-shaped, run in batch) ----
+# ref: overlapping segmentation, utils.py:7-50 (here: non-overlapping)
+
+def q_tumbling_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_c"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("wstart_s"),
+            "event_type",
+            "n",
+            "sum_value_c",
+        )
+    )
+
+
+ORACLE_TUMBLING = """
+SELECT CAST(epoch(time_bucket(INTERVAL 6 HOUR, ts)) AS BIGINT) AS wstart_s,
+       event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events GROUP BY 1, 2"""
+
+
+# --- 16. pivot-style conditional aggregation -----------------------------
+# ref: grouped describe, ml/anomaly/ml_anom.py:183-211
+
+def q_pivot_event_dow(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    dows = [(i, f"dow{i}") for i in range(1, 8)]
+    aggs = [
+        F.sum(F.when(F.dayofweek("ts") == i, 1).otherwise(0)).alias(name)
+        for i, name in dows
+    ]
+    return ev.groupBy("event_type").agg(*aggs)
+
+
+ORACLE_PIVOT = """
+SELECT event_type,
+  CAST(sum(CASE WHEN dayofweek(ts) + 1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dow1,
+  CAST(sum(CASE WHEN dayofweek(ts) + 1 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dow2,
+  CAST(sum(CASE WHEN dayofweek(ts) + 1 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS dow3,
+  CAST(sum(CASE WHEN dayofweek(ts) + 1 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS dow4,
+  CAST(sum(CASE WHEN dayofweek(ts) + 1 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS dow5,
+  CAST(sum(CASE WHEN dayofweek(ts) + 1 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS dow6,
+  CAST(sum(CASE WHEN dayofweek(ts) + 1 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS dow7
+FROM events GROUP BY event_type"""
+
+
+# --- 17. distinct daily users --------------------------------------------
+# ref: distinct counts, support.py:328
+
+def q_daily_distinct_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "n_users")
+    )
+
+
+ORACLE_DAILY_USERS = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1"""
+
+
+# --- 18. variability index (QTVI-style log-ratio formula) ----------------
+# ref: peak_detect_v4.py:1222-1248
+
+def q_variability_index(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    g = ev.withColumn("vc", _cents(F.col("value"))).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).alias("s2"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = (F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    return g.select(
+        "event_type",
+        "n",
+        F.round(F.log10(var / (mean * mean)) * 1e6).cast("long").alias("vi_e6"),
+    )
+
+
+ORACLE_VARIABILITY = """
+WITH g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(round(value*100) AS BIGINT)) AS s,
+         sum(CAST(round(value*100) AS BIGINT) * CAST(round(value*100) AS BIGINT)) AS s2
+  FROM events GROUP BY 1
+)
+SELECT event_type, n,
+  CAST(round(log10(((s2 - CAST(s AS DOUBLE)*s/n)/(n-1)) /
+       ((CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n))) * 1e6) AS BIGINT) AS vi_e6
+FROM g"""
+
+
+RELATIONAL_QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "interval_stats": q_interval_stats,
+    "sessionize": q_sessionize,
+    "longest_streak": q_longest_streak,
+    "topk_per_group": q_topk_per_group,
+    "range_join_bands": q_range_join_bands,
+    "asof_purchase_click": q_asof_purchase_click,
+    "iqr_outliers": q_iqr_outliers,
+    "mode_per_user": q_mode_per_user,
+    "semi_anti_join": q_semi_anti,
+    "fail_reasons": q_fail_reasons,
+    "rolling_median": q_rolling_median,
+    "baseline_norm": q_baseline_norm,
+    "levenshtein_match": q_levenshtein_match,
+    "tumbling_window": q_tumbling_window,
+    "pivot_event_dow": q_pivot_event_dow,
+    "daily_distinct_users": q_daily_distinct_users,
+    "variability_index": q_variability_index,
+}
+
+RELATIONAL_ORACLES = {
+    "pricing_summary": ORACLE_PRICING,
+    "interval_stats": ORACLE_INTERVALS,
+    "sessionize": ORACLE_SESSIONIZE,
+    "longest_streak": ORACLE_STREAK,
+    "topk_per_group": ORACLE_TOPK,
+    "range_join_bands": ORACLE_BANDS,
+    "asof_purchase_click": ORACLE_ASOF,
+    "iqr_outliers": ORACLE_IQR,
+    "mode_per_user": ORACLE_MODE,
+    "semi_anti_join": ORACLE_SEMI_ANTI,
+    "fail_reasons": ORACLE_FAIL_REASONS,
+    "rolling_median": ORACLE_ROLLING_MEDIAN,
+    "baseline_norm": ORACLE_BASELINE,
+    "levenshtein_match": ORACLE_LEVENSHTEIN,
+    "tumbling_window": ORACLE_TUMBLING,
+    "pivot_event_dow": ORACLE_PIVOT,
+    "daily_distinct_users": ORACLE_DAILY_USERS,
+    "variability_index": ORACLE_VARIABILITY,
+}

@@ -1,0 +1,121 @@
+"""Dedup family + similarity search on planted fixtures with known
+answers (reference style: deterministic inputs, closed-form oracles)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from rad_ecg_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash_pairs,
+)
+from rad_ecg_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    lsh_ann_topk,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "The  quick BROWN fox jumps over the lazy dog"),  # normalized dup of 1
+    (4, "the quick brown fox leaps over the lazy dog"),   # near dup (1 word)
+    (5, "completely different content about spark engines"),
+    (6, "zzz qqq xxx yyy www vvv"),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_keeps_min_id_and_counts_copies(self, spark):
+        kept = exact_dedup(_docs_df(spark))
+        rows = {r["doc_id"]: r["n_copies"] for r in kept.collect()}
+        assert 1 in rows and 2 not in rows and 3 not in rows
+        assert rows[1] == 3  # docs 1,2,3 share one fingerprint
+        assert rows[4] == 1 and rows[5] == 1 and rows[6] == 1
+
+
+class TestJaccard:
+    def test_near_dup_pair_found(self, spark):
+        pairs = {
+            (r["a"], r["b"]): (r["inter"], r["uni"])
+            for r in jaccard_pairs(
+                _docs_df(spark), threshold_num=7, threshold_den=10
+            ).collect()
+        }
+        # docs 1/2/3 identical word sets (8 words); doc 4 shares 7 of 9
+        assert pairs[(1, 2)] == (8, 8)
+        assert pairs[(1, 3)] == (8, 8)
+        assert (1, 4) in pairs
+        inter, uni = pairs[(1, 4)]
+        assert inter == 7 and uni == 9
+        assert all(5 not in p and 6 not in p for p in pairs)
+
+
+class TestMinHash:
+    def test_identical_docs_identical_signatures(self, spark):
+        sigs = {r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(8))
+                for r in minhash_signatures(_docs_df(spark)).collect()}
+        assert sigs[1] == sigs[2] == sigs[3]
+        assert sigs[1] != sigs[5]
+
+    def test_lsh_candidates_contain_dups_not_disjoint(self, spark):
+        cands = {(r["a"], r["b"]) for r in
+                 minhash_lsh_candidates(_docs_df(spark)).collect()}
+        assert (1, 2) in cands and (1, 3) in cands and (2, 3) in cands
+        assert (5, 6) not in cands  # zero shared tokens
+
+
+class TestSimHash:
+    def test_exact_dups_zero_hamming(self, spark):
+        pairs = {(r["a"], r["b"]): r["hamming"] for r in
+                 simhash_pairs(_docs_df(spark), max_hamming=10).collect()}
+        assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
+        assert (5, 6) not in pairs
+
+
+class TestSimilarity:
+    def _vec_df(self, spark):
+        rng = np.random.default_rng(42)
+        base = rng.standard_normal((4, 8))
+        rows = []
+        vid = 0
+        for b in base:
+            for j in range(5):  # 5 jittered copies per cluster
+                v = b + 0.01 * rng.standard_normal(8)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_brute_force_topk_finds_cluster_mates(self, spark):
+        vecs = self._vec_df(spark)
+        q = vecs.filter(F.col("vec_id") == 0)
+        top = brute_force_topk(vecs, q, k=4).collect()
+        got = {r["vid"] for r in top}
+        assert got == {1, 2, 3, 4}  # same-cluster jittered copies
+        assert all(r["cos"] > 0.99 for r in top)
+
+    def test_lsh_ann_matches_brute_force_on_clustered_data(self, spark):
+        vecs = self._vec_df(spark)
+        q = vecs.filter(F.col("vec_id").isin(0, 5, 10))
+        bf = {(r["qid"], r["rk"]): r["vid"]
+              for r in brute_force_topk(vecs, q, k=2).collect()}
+        ann = {(r["qid"], r["rk"]): r["vid"]
+               for r in lsh_ann_topk(vecs, q, k=2, n_planes=4).collect()}
+        # tight clusters + few planes: ANN must recover the exact top-2
+        assert ann == bf
+
+    def test_embedding_neardup_pairs(self, spark):
+        vecs = self._vec_df(spark)
+        pairs = {(r["a"], r["b"]) for r in
+                 embedding_neardup_pairs(vecs, threshold=0.99).collect()}
+        assert (0, 1) in pairs
+        # no cross-cluster pair survives the threshold
+        assert all((a // 5) == (b // 5) for a, b in pairs)
