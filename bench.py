@@ -1,0 +1,119 @@
+"""Benchmark runner. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline metric: edges/sec per PageRank iteration on a deterministic
+synthetic graph (default 10M edges — BASELINE.md protocol), plus
+wall-clock seconds for representative queries at $SPARK_GRAFT_SF_DIR.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     (default 32)
+  BENCH_EDGES          (default 10_000_000)
+  BENCH_PR_ITERS       (default 5)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+from rad_ecg_spark.operators.pagerank import PageRankStats, pagerank
+from rad_ecg_spark.session import get_spark
+from rad_ecg_spark.sources.pages import generate_pages
+from rad_ecg_spark.sources.synth_graph import synth_edges
+
+# representative, bench-safe subset of the query registry (the full set
+# incl. O(pairs) dedup queries runs in the sf0.01 correctness gate)
+BENCH_QUERY_NAMES = [
+    "pricing_summary",
+    "interval_stats",
+    "sessionize",
+    "asof_purchase_click",
+    "topk_per_group",
+    "iqr_outliers",
+    "rolling_median",
+    "tumbling_window",
+    "doc_stats",
+    "cosine_topk",
+    "graph_pagerank_5iter",
+    "graph_triangle_count",
+    "graph_connected_components",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_edges = int(os.environ.get("BENCH_EDGES", "10000000"))
+    pr_iters = int(os.environ.get("BENCH_PR_ITERS", "5"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from rad_ecg_spark.queries import ALL_QUERIES
+
+    timings: dict[str, float] = {}
+
+    # --- headline: PageRank throughput on the synthetic bench graph ----
+    edges = synth_edges(spark, n_edges)
+    e_count = edges.count()  # materialize the input before timing
+    t0 = time.monotonic()
+    stats = PageRankStats()
+    pagerank(edges, tol=0.0, max_iter=pr_iters, stats=stats).count()
+    pr_wall = time.monotonic() - t0
+    edges_per_sec_iter = stats.num_edges * stats.iterations / pr_wall
+    timings["pagerank_synth"] = round(pr_wall, 3)
+
+    # --- extraction throughput: pages -> edges via Arrow UDF -----------
+    from rad_ecg_spark.functions.extract import pages_to_edges
+
+    n_pages = 100_000
+    pages = generate_pages(spark, n_pages // 50, 50).persist()
+    pages.count()  # materialize: time ONLY the extraction UDF pass
+    t0 = time.monotonic()
+    n_extracted = pages_to_edges(pages, dedupe=False).count()
+    ext_wall = time.monotonic() - t0
+    timings["extract_100k_pages"] = round(ext_wall, 3)
+    pages.unpersist()
+
+    # --- query suite at sf_dir -----------------------------------------
+    for name in BENCH_QUERY_NAMES:
+        fn = ALL_QUERIES[name]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = sum(timings.values())
+    print(
+        json.dumps(
+            {
+                "metric": "edges_per_sec_per_pagerank_iteration",
+                "value": round(edges_per_sec_iter),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "detail": {
+                    "bench_edges": e_count,
+                    "pagerank_iterations": stats.iterations,
+                    "pagerank_wall_s": round(pr_wall, 3),
+                    "pages_extracted": n_pages,
+                    "edges_extracted": n_extracted,
+                    "pages_per_sec": round(n_pages / ext_wall),
+                    "total_query_wall_s": round(total, 3),
+                    "cpus": cpus,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

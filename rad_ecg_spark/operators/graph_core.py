@@ -17,6 +17,7 @@ Scale notes:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Iterator
 
 import numpy as np
@@ -27,6 +28,72 @@ from pyspark.sql import functions as F
 
 def normalize_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     return edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+
+
+# target rows per partition for iterative graph state/edges: small enough
+# to fit comfortably in executor memory at 100TB scale, large enough that
+# per-task overhead doesn't dominate (measured: a 15k-edge graph at 32
+# partitions spends ~6s/iter on pure task overhead; at 2 partitions <1s).
+EDGE_ROWS_PER_PARTITION = 500_000
+
+
+def size_partitions(spark, n_rows: int, configured: int | None = None) -> int:
+    """Partition count proportional to data size, capped by the session
+    shuffle-partition setting (which on a real cluster is sized to
+    executor count)."""
+    if configured is None:
+        configured = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return max(2, min(configured, n_rows // EDGE_ROWS_PER_PARTITION + 1))
+
+
+@contextmanager
+def pinned_loop_conf(spark):
+    """Disable AQE for the duration of an iterative loop.
+
+    Two reasons, both measured at 10M edges on local[32]:
+    - partition coalescing changes the state's partitioning between
+      iterations, forcing re-exchanges;
+    - AQE's per-stage re-planning + query-stage materialization adds
+      irregular multi-second stalls (34-42s spikes every few
+      iterations; steady 0.8M -> 1.6M edges/sec/iter with AQE off).
+    The loop's plans are fixed and hand-partitioned, so AQE has nothing
+    to improve here; skew is handled structurally (map-side partial
+    aggregation; degree-ordered orientation in triangles). AQE stays on
+    for ad-hoc relational queries (session default).
+    """
+    keys = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, "true") for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+
+def free_local_checkpoint(df: DataFrame | None) -> None:
+    """Explicitly release a localCheckpoint'd DataFrame's storage blocks.
+
+    Iterative loops checkpoint every iteration; the superseded RDDs are
+    only reclaimed on JVM GC otherwise, and on a long run the storage
+    region fills up and iteration times degrade 5-10x (measured: steady
+    ~4s/iter collapsing to 40s/iter by iteration 7 at 10M edges).
+    DataFrame.unpersist() does NOT cover checkpoint blocks — we reach the
+    LogicalRDD's underlying RDD and unpersist it directly.
+    """
+    if df is None:
+        return
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: a leaked block degrades perf, not correctness
 
 
 def vertices_of(edges: DataFrame) -> DataFrame:

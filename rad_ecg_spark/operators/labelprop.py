@@ -25,7 +25,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from rad_ecg_spark.operators.graph_core import normalize_edges, symmetrize, vertices_of
+from rad_ecg_spark.operators.graph_core import (
+    free_local_checkpoint,
+    normalize_edges,
+    pinned_loop_conf,
+    size_partitions,
+    symmetrize,
+    vertices_of,
+)
 
 
 @dataclass
@@ -45,20 +52,23 @@ def label_propagation(
     (synchronous LP can 2-cycle on bipartite structures — max_iter bounds
     that; the fixed iteration count is itself deterministic)."""
     spark = edges.sparkSession
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if stats is None:
         stats = LabelPropStats()
 
+    sym0 = symmetrize(normalize_edges(edges)).persist(StorageLevel.MEMORY_AND_DISK)
+    if num_partitions is None:
+        num_partitions = size_partitions(spark, sym0.count())
     sym = (
-        symmetrize(normalize_edges(edges))
-        .repartition(num_partitions, "dst")
+        sym0.repartition(num_partitions, "dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sym.count()
+    sym0.unpersist()
     verts = vertices_of(edges).repartition(num_partitions, "id").persist()
     labels = verts.select("id", F.col("id").alias("label")).persist()
 
-    for it in range(max_iter):
+    with pinned_loop_conf(spark):
+      for it in range(max_iter):
         # messages flow src -> dst; join on src, aggregate per dst
         msgs = sym.join(labels, sym.src == labels.id).select("dst", "label")
         counts = msgs.groupBy("dst", "label").agg(F.count(F.lit(1)).alias("cnt"))
@@ -88,6 +98,7 @@ def label_propagation(
             .count()
         )
         labels.unpersist()
+        free_local_checkpoint(labels)
         labels = new_labels
         stats.iterations = it + 1
         stats.changes.append(changed)

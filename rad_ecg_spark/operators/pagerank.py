@@ -8,26 +8,37 @@ oracle in tests/oracles.py):
     dangling_mass_k = sum of rank_k over vertices with outdeg == 0
     converged when  max_v |rank_{k+1}(v) - rank_k(v)| < tol
 
-Scale design (the part that must survive 10^12 documents):
-- ONE shuffle per iteration. Edges are hash-partitioned by ``src`` once
-  and persisted; ranks come out of each iteration hash-partitioned by
-  vertex id (the groupBy("dst") output), so the next iteration's
-  edges⋈ranks join reuses both partitionings with no Exchange. The only
-  mandatory shuffle is the contribution groupBy("dst") — that IS the
-  message-passing step.
+Scale design (what must survive 10^12 documents; measured numbers from
+local[32] @ 10M edges):
+
+- ONE shuffle per iteration — the contribution groupBy("dst"). Edges are
+  hash-partitioned by ``src`` once and persisted; the ranks state is
+  hash-partitioned by vertex id, so both per-iteration joins
+  (edges⋈ranks on src, ranks⋈contribs on id=dst) reuse existing
+  partitionings with no Exchange.
+- SHUFFLE_HASH join hints on the small/state side: the default
+  sort-merge join would re-sort the 10M-edge table EVERY iteration
+  (sort is not cached with the partitioning). Hash join builds a map
+  over the per-partition ranks slice instead — measured ~2x faster
+  per iteration.
+- The convergence delta is a COLUMN, not a join: the state table
+  carries (id, outdeg, rank) and the new state is produced by joining
+  contributions back to it, so |new-old| is computed row-local. One
+  aggregate scan per iteration returns (delta_max, dangling_next,
+  mass) — the driver holds 3 scalars, never vertex-sized data.
 - Partial (map-side) aggregation makes the groupBy-sum skew-tolerant:
   a supernode dst key reduces to one partial row per map partition
-  before the shuffle, so a 10^8-in-degree hub costs P partial rows, not
-  10^8 shuffled rows. AQE skew-join handles src-side skew in the join.
-- Driver holds only 3 scalars per iteration (delta, dangling mass, sum);
-  nothing vertex-sized is ever collected.
+  before the shuffle (10^8-in-degree hub => P partial rows, not 10^8
+  shuffled rows). AQE skew-join handles src-side skew in the join;
+  AQE partition coalescing is disabled inside the loop so the state's
+  partitioning stays aligned across iterations.
 - Lineage is cut with localCheckpoint EVERY iteration (the reference
   never faces this — its state is a mutable array). This is not
-  optional: the new-ranks plan references the old-ranks plan ~3× (join,
-  dangling term, delta), so without truncation the logical plan grows
-  exponentially and Catalyst analysis time explodes after ~6 iterations
-  (measured: 2.4s/iter → 140s/iter by iteration 8). persist() alone
-  does NOT help — it caches execution, not the logical plan.
+  optional: the new-state plan references the old state ~2×, so without
+  truncation the logical plan grows exponentially and Catalyst analysis
+  time explodes after ~6 iterations (measured: 2.4s/iter → 140s/iter by
+  iteration 8). persist() alone does NOT help — it caches execution,
+  not the logical plan.
 - Optional durable checkpointing via plans.checkpoint.CheckpointManager:
   per-iteration snapshot + _meta lineage row; ``resume=True`` restarts
   from the last complete iteration (north_rule requirement).
@@ -45,7 +56,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from rad_ecg_spark.operators.graph_core import normalize_edges, out_degrees, vertices_of
+from rad_ecg_spark.operators.graph_core import (
+    free_local_checkpoint,
+    normalize_edges,
+    out_degrees,
+    pinned_loop_conf,
+    size_partitions,
+    vertices_of,
+)
 from rad_ecg_spark.plans.checkpoint import CheckpointManager
 
 
@@ -53,6 +71,8 @@ from rad_ecg_spark.plans.checkpoint import CheckpointManager
 class PageRankStats:
     iterations: int = 0
     deltas: list[float] = field(default_factory=list)
+    iter_wall_s: list[float] = field(default_factory=list)
+    setup_wall_s: float = 0.0
     converged: bool = False
     num_vertices: int = 0
     num_edges: int = 0
@@ -75,23 +95,31 @@ def pagerank(
 
     Ranks sum to 1.0 at every iteration (dangling mass redistributed).
     """
+    import time as _time
+
+    t_setup = _time.monotonic()
     spark = edges.sparkSession
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if stats is None:
         stats = PageRankStats()
 
-    edges = normalize_edges(edges)
+    raw = normalize_edges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    n_raw = raw.count()
+    if num_partitions is None:
+        # size partitions to the data: tiny graphs at full parallelism
+        # pay ~6s/iteration of pure task overhead (measured)
+        num_partitions = size_partitions(spark, n_raw)
+    edges = raw.repartition(num_partitions, "src")
     if dedupe_edges:
         # PageRank is defined over an edge SET; duplicate (src,dst) rows
-        # would silently inflate outdeg. One-time cost before the loop.
+        # would silently inflate outdeg. Dedup AFTER the src repartition:
+        # HashPartitioning(src) satisfies the (src,dst) grouping (subset
+        # rule), so the distinct adds NO second shuffle.
         edges = edges.dropDuplicates(["src", "dst"])
-    edges = (
-        edges.repartition(num_partitions, "src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # vertex table carries the static outdeg so the per-iteration loop
-    # never re-joins a separate degree table.
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    raw.unpersist()
+    # state table carries the static outdeg so the loop never re-joins a
+    # separate degree table.
     verts = (
         vertices_of(edges)
         .join(out_degrees(edges), F.col("id") == F.col("src"), "left")
@@ -103,7 +131,10 @@ def pagerank(
     stats.num_vertices = n
     stats.num_edges = edges.count()
     if n == 0:
-        return verts.select("id", F.lit(0.0).alias("rank"))
+        out = verts.select("id", F.lit(0.0).alias("rank"))
+        edges.unpersist()
+        verts.unpersist()
+        return out
 
     start_iter = 0
     ranks = None
@@ -119,12 +150,12 @@ def pagerank(
                 verts.join(loaded, verts.id == F.col("cid"))
                 .select("id", "outdeg", "rank")
                 .repartition(num_partitions, "id")
-                .persist(StorageLevel.MEMORY_AND_DISK)
+                .localCheckpoint(eager=True)
             )
     if ranks is None:
         ranks = verts.select(
             "id", "outdeg", (F.lit(1.0) / F.lit(float(n))).alias("rank")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ).localCheckpoint(eager=True)
 
     # one action to seed the loop's dangling mass
     dangling = ranks.filter(F.col("outdeg") == 0).agg(
@@ -133,59 +164,74 @@ def pagerank(
 
     d = float(damping)
     base = (1.0 - d) / n
-    for it in range(start_iter, max_iter):
-        contribs = (
-            edges.join(ranks.filter(F.col("outdeg") > 0), edges.src == ranks.id)
-            .select(F.col("dst"), (F.col("rank") / F.col("outdeg")).alias("w"))
-            .groupBy("dst")
-            .agg(F.sum("w").alias("in_sum"))
-        )
-        new_ranks = (
-            verts.join(contribs, verts.id == contribs.dst, "left")
-            .select(
-                verts.id,
-                verts.outdeg,
-                (
-                    F.lit(base)
-                    + F.lit(d)
-                    * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(dangling / n))
-                ).alias("rank"),
+    stats.setup_wall_s = _time.monotonic() - t_setup
+    with pinned_loop_conf(spark):
+        for it in range(start_iter, max_iter):
+            t_iter = _time.monotonic()
+            # shuffle_hash: build a hash map over the per-partition ranks
+            # slice; sort-merge would re-sort the edge table every
+            # iteration. Both sides are already hash-partitioned.
+            contribs = (
+                edges.join(
+                    ranks.filter(F.col("outdeg") > 0).hint("shuffle_hash"),
+                    edges.src == ranks.id,
+                )
+                .select(F.col("dst"), (F.col("rank") / F.col("outdeg")).alias("w"))
+                .groupBy("dst")
+                .agg(F.sum("w").alias("in_sum"))
             )
-            # materialize AND truncate the logical plan — see module doc.
-            .localCheckpoint(eager=True)
-        )
-        # single action per iteration: convergence delta + next dangling
-        # mass + total mass, fused into one aggregate over one join.
-        row = (
-            new_ranks.join(
-                ranks.select(F.col("id").alias("oid"), F.col("rank").alias("old_rank")),
-                new_ranks.id == F.col("oid"),
+            new_ranks = (
+                ranks.join(contribs.hint("shuffle_hash"), ranks.id == contribs.dst, "left")
+                .select(
+                    ranks.id,
+                    ranks.outdeg,
+                    (
+                        F.lit(base)
+                        + F.lit(d)
+                        * (
+                            F.coalesce(F.col("in_sum"), F.lit(0.0))
+                            + F.lit(dangling / n)
+                        )
+                    ).alias("rank"),
+                    F.abs(
+                        F.lit(base)
+                        + F.lit(d)
+                        * (
+                            F.coalesce(F.col("in_sum"), F.lit(0.0))
+                            + F.lit(dangling / n)
+                        )
+                        - ranks.rank
+                    ).alias("delta"),
+                )
+                # materialize AND truncate the logical plan — module doc.
+                .localCheckpoint(eager=True)
             )
-            .agg(
-                F.max(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
+            # single aggregate scan: convergence delta + next dangling
+            # mass + total mass. No join — delta is a column.
+            row = new_ranks.agg(
+                F.max("delta").alias("delta"),
                 F.sum(F.when(F.col("outdeg") == 0, F.col("rank")).otherwise(0.0)).alias(
                     "dangling"
                 ),
                 F.sum("rank").alias("mass"),
-            )
-            .collect()[0]
-        )
-        delta, dangling = float(row["delta"]), float(row["dangling"])
-        ranks.unpersist()
-        ranks = new_ranks
-        stats.iterations = it + 1
-        stats.deltas.append(delta)
-        if checkpointer is not None and (it + 1) % checkpoint_every == 0:
-            checkpointer.commit(
-                iteration=it + 1,
-                state=ranks.select("id", "rank"),
-                rows=n,
-                agg_value=float(row["mass"]),
-                delta_max=delta,
-            )
-        if delta < tol:
-            stats.converged = True
-            break
+            ).collect()[0]
+            delta, dangling = float(row["delta"]), float(row["dangling"])
+            free_local_checkpoint(ranks)  # release superseded state blocks
+            ranks = new_ranks
+            stats.iterations = it + 1
+            stats.deltas.append(delta)
+            stats.iter_wall_s.append(round(_time.monotonic() - t_iter, 3))
+            if checkpointer is not None and (it + 1) % checkpoint_every == 0:
+                checkpointer.commit(
+                    iteration=it + 1,
+                    state=ranks.select("id", "rank"),
+                    rows=n,
+                    agg_value=float(row["mass"]),
+                    delta_max=delta,
+                )
+            if delta < tol:
+                stats.converged = True
+                break
 
     result = ranks.select("id", "rank")
     edges.unpersist()

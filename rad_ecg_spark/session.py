@@ -51,6 +51,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # throughput-oriented GC: long iterative jobs showed multi-second
+        # G1 stalls; ParallelGC trades pause latency for batch throughput
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
