@@ -1,0 +1,85 @@
+"""spark-submit entry point for the PageRank job.
+
+Packaging (north_rule):
+    python jobs/make_pyfiles.py          # -> dist/rad_ecg_spark.zip
+    spark-submit --py-files dist/rad_ecg_spark.zip jobs/run_pagerank.py \
+        --edges /path/to/edges_parquet --out /path/to/ranks \
+        --checkpoint-dir /path/to/ck --resume
+
+Input: parquet with columns (src, dst) — or a pages table with
+(url, html, ...) via --pages, in which case edges are extracted with the
+Arrow outlink UDF first.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--edges", help="parquet dir with (src, dst)")
+    ap.add_argument("--pages", help="parquet dir with pages(url, html, ...)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--checkpoint-dir")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--damping", type=float, default=0.85)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--max-iter", type=int, default=100)
+    ap.add_argument("--partitions", type=int)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from rad_ecg_spark.operators.pagerank import PageRankStats, pagerank
+    from rad_ecg_spark.plans.checkpoint import CheckpointManager
+
+    spark = SparkSession.builder.appName("linkgraph-pagerank").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.pages:
+        from rad_ecg_spark.functions.extract import pages_to_edges
+
+        pages = spark.read.parquet(args.pages)
+        edges = pages_to_edges(pages).withColumnsRenamed(
+            {"src_url": "src", "dst_url": "dst"}
+        )
+    elif args.edges:
+        edges = spark.read.parquet(args.edges)
+    else:
+        raise SystemExit("one of --edges / --pages is required")
+
+    ck = (
+        CheckpointManager(spark, args.checkpoint_dir, "pagerank")
+        if args.checkpoint_dir
+        else None
+    )
+    stats = PageRankStats()
+    ranks = pagerank(
+        edges,
+        damping=args.damping,
+        tol=args.tol,
+        max_iter=args.max_iter,
+        num_partitions=args.partitions,
+        checkpointer=ck,
+        resume=args.resume,
+        stats=stats,
+    )
+    ranks.write.mode("overwrite").parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "vertices": stats.num_vertices,
+                "edges": stats.num_edges,
+                "iterations": stats.iterations,
+                "converged": stats.converged,
+                "resumed_from": stats.resumed_from,
+                "final_delta": stats.deltas[-1] if stats.deltas else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

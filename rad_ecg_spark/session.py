@@ -54,7 +54,19 @@ def get_spark(
         # throughput-oriented GC: long iterative jobs showed multi-second
         # G1 stalls; ParallelGC trades pause latency for batch throughput
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # don't block job progress on block/shuffle cleanup bursts
+        .config("spark.cleaner.referenceTracking.blocking", "false")
     )
+    # shuffle files on tmpfs when available: per-iteration shuffles of
+    # iterative graph jobs are latency-sensitive and the container disk
+    # adds seconds/iteration (cluster analog: fast local NVMe for
+    # spark.local.dir, or push-based/remote shuffle service)
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    except OSError:
+        pass
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
