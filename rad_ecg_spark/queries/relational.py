@@ -690,3 +690,130 @@ RELATIONAL_ORACLES = {
     "daily_distinct_users": ORACLE_DAILY_USERS,
     "variability_index": ORACLE_VARIABILITY,
 }
+
+
+# --- 19. per-column null report (EDA null audit analog) ------------------
+# ref: ml/anomaly/ml_anom.py:114-179
+
+def q_null_report(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+        for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ]
+    return ev.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+
+
+ORACLE_NULL_REPORT = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_id,
+  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_ts,
+  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_user_id,
+  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_type,
+  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_value,
+  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_props
+FROM events"""
+
+
+# --- 20. rollup (multi-level aggregation) --------------------------------
+# ref: grouped describe at multiple levels, ml/anomaly/ml_anom.py:183-211
+
+def q_rollup_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_price_c"),
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+
+# --- 21. set operations (union / intersect / except) ---------------------
+# ref: set ops, peak_detect_v4.py:1713-1723; SURVEY §2.7
+
+def q_set_ops(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clickers.intersect(buyers)
+    only_click = clickers.subtract(buyers)  # EXCEPT (distinct)
+    either = clickers.union(buyers).distinct()
+    return spark.createDataFrame(
+        [("both", both.count()), ("click_only", only_click.count()), ("either", either.count())],
+        "segment string, n_users long",
+    )
+
+
+ORACLE_SET_OPS = """
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+     b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT 'both' AS segment, CAST(count(*) AS BIGINT) AS n_users FROM (SELECT * FROM c INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT 'click_only', CAST(count(*) AS BIGINT) FROM (SELECT * FROM c EXCEPT SELECT * FROM b)
+UNION ALL
+SELECT 'either', CAST(count(*) AS BIGINT) FROM (SELECT * FROM c UNION SELECT * FROM b)"""
+
+
+# --- 22. exact Pearson correlation via integer sums ----------------------
+# ref: correlation matrix, ml/anomaly/ml_anom.py:351-392
+
+def q_correlation_exact(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    g = (
+        ev.withColumn("x", _cents(F.col("value")))
+        .withColumn("y", F.hour(F.col("ts").cast("timestamp")).cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.round(num / den * 1e9).cast("long").alias("corr_e9"),
+    )
+
+
+ORACLE_CORRELATION = """
+WITH g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sx,
+    CAST(sum(CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS BIGINT) AS sy,
+    CAST(sum(CAST(round(value*100) AS BIGINT) * CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS BIGINT) AS sxy,
+    CAST(sum(CAST(round(value*100) AS BIGINT) * CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sxx,
+    CAST(sum(CAST(EXTRACT(hour FROM ts) AS BIGINT) * CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS BIGINT) AS syy
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+  CAST(round((n*sxy - sx*sy) / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) * 1e9) AS BIGINT) AS corr_e9
+FROM g"""
+
+RELATIONAL_QUERIES.update({
+    "null_report": q_null_report,
+    "rollup_revenue": q_rollup_revenue,
+    "set_ops": q_set_ops,
+    "correlation_exact": q_correlation_exact,
+})
+RELATIONAL_ORACLES.update({
+    "null_report": ORACLE_NULL_REPORT,
+    "rollup_revenue": ORACLE_ROLLUP,
+    "set_ops": ORACLE_SET_OPS,
+    "correlation_exact": ORACLE_CORRELATION,
+})

@@ -1,0 +1,65 @@
+"""Checkpoint/resume protocol tests (north_rule: killed job resumes and
+final outputs equal the uninterrupted run). Mirrors the reference's
+skip-if-done + cache reload paths
+(/root/reference/src/rad_ecg/scripts/peak_detect_v4.py:1850-1853)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rad_ecg_spark.operators.pagerank import PageRankStats, pagerank
+from rad_ecg_spark.plans.checkpoint import CheckpointManager
+
+from .conftest import edges_df
+from .oracles import random_graph
+
+
+class TestCheckpointResume:
+    def test_kill_after_k_then_resume_equals_uninterrupted(self, spark, tmp_path):
+        pairs = random_graph(50, 200, seed=6)
+        ckdir = str(tmp_path / "ck")
+
+        # "killed" after 3 iterations
+        cm = CheckpointManager(spark, ckdir, "pagerank")
+        s1 = PageRankStats()
+        pagerank(edges_df(spark, pairs), tol=0.0, max_iter=3,
+                 checkpointer=cm, stats=s1)
+        assert cm.last_complete() == 3
+
+        # resume to iteration 8
+        cm2 = CheckpointManager(spark, ckdir, "pagerank")
+        s2 = PageRankStats()
+        resumed = pagerank(edges_df(spark, pairs), tol=0.0, max_iter=8,
+                           checkpointer=cm2, resume=True, stats=s2)
+        assert s2.resumed_from == 3
+        assert s2.iterations == 8
+
+        # uninterrupted 8 iterations
+        full = pagerank(edges_df(spark, pairs), tol=0.0, max_iter=8)
+        diff = (
+            resumed.withColumnRenamed("rank", "r2")
+            .join(full, "id")
+            .agg(F.max(F.abs(F.col("rank") - F.col("r2"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        assert diff < 1e-15
+
+    def test_meta_lineage_rows(self, spark, tmp_path):
+        pairs = random_graph(30, 100, seed=12)
+        ckdir = str(tmp_path / "ck")
+        cm = CheckpointManager(spark, ckdir, "pagerank")
+        pagerank(edges_df(spark, pairs), tol=0.0, max_iter=4, checkpointer=cm)
+        meta = cm.meta().orderBy("iteration").collect()
+        assert [r["iteration"] for r in meta] == [1, 2, 3, 4]
+        assert all(r["status"] == "complete" for r in meta)
+        assert all(abs(r["agg_value"] - 1.0) < 1e-9 for r in meta)  # mass
+        assert all(r["rows"] > 0 for r in meta)
+
+    def test_resume_without_checkpoint_starts_fresh(self, spark, tmp_path):
+        pairs = random_graph(20, 60, seed=13)
+        cm = CheckpointManager(spark, str(tmp_path / "empty"), "pagerank")
+        s = PageRankStats()
+        pagerank(edges_df(spark, pairs), tol=0.0, max_iter=2,
+                 checkpointer=cm, resume=True, stats=s)
+        assert s.resumed_from is None
+        assert s.iterations == 2
