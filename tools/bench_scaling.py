@@ -57,7 +57,7 @@ def run_once(cpus: int, n_edges: int, iters: int) -> dict:
     raise RuntimeError(f"no result from local[{cpus}] run:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
-def run(cpus: int, n_edges: int, iters: int, repeats: int = 2) -> dict:
+def run(cpus: int, n_edges: int, iters: int, repeats: int = 1) -> dict:
     """Best-of-N: the sandbox has noisy co-tenancy; external noise only
     ever slows a run down, so the fastest repeat is the engine's number."""
     results = [run_once(cpus, n_edges, iters) for _ in range(repeats)]
