@@ -124,27 +124,28 @@ def _run(edges, verts, method, max_iter, num_partitions):
                 .groupBy("src")
                 .agg(F.min("component").alias("nbr_min"))
             )
+            new_comp = F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            )
             new_labels = (
                 labels.join(nbr_min, labels.id == nbr_min.src, "left")
                 .select(
                     "id",
-                    F.least(
-                        F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                    ).alias("component"),
+                    new_comp.alias("component"),
+                    # change detection inline (delta-as-a-column, see
+                    # pagerank.py) — no per-iteration self-join
+                    (new_comp != F.col("component")).cast("long").alias("changed"),
                 )
                 # lineage truncation per iteration (see pagerank.py doc)
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.join(
-                    labels.select(F.col("id").alias("oid"), F.col("component").alias("old")),
-                    new_labels.id == F.col("oid"),
-                )
-                .filter(F.col("component") != F.col("old"))
-                .count()
+            changed = int(
+                new_labels.agg(F.coalesce(F.sum("changed"), F.lit(0))).collect()[0][0]
             )
             labels.unpersist()
             free_local_checkpoint(labels)
+            # keep the checkpointed frame itself (not a projection) so the
+            # next round's free_local_checkpoint can release its blocks
             labels = new_labels
             if changed == 0:
                 break

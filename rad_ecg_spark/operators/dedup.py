@@ -8,8 +8,9 @@
   signature is split into bands; pairs sharing any band bucket become
   candidates — THE scale path for near-dup at 10^12 docs (candidate
   generation is an equi-join on (band_id, band_key), not O(n²)).
-- SimHash: 64-bit sign-aggregated token-hash sketch via a vectorized
-  pandas UDF; near-dups = small Hamming distance.
+- SimHash: 60-bit sign-aggregated token-hash sketch computed entirely
+  JVM-side (per-bit vote sums in one groupBy); near-dups = small Hamming
+  distance over banded candidates.
 - embedding cosine: see operators/similarity.py.
 
 All hash arithmetic is plain integer math on md5-derived values so the
@@ -22,11 +23,8 @@ Reference capability donor: overlap dedup via set-intersection + rollback
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from rad_ecg_spark.functions.textstats import fingerprint, words
 
@@ -37,15 +35,19 @@ MINHASH_PARAMS = [(2 * i + 1, 7919 * (i + 1)) for i in range(8)]
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id row per content fingerprint. Returns the kept rows
-    plus group size (n_copies)."""
-    w = Window.partitionBy("fp").orderBy(id_col)
-    return (
-        df.withColumn("fp", fingerprint(F.col(text_col)))
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("fp")))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    plus group size (n_copies).
+
+    Skew shape: groupBy(fp) gets map-side partial aggregation, so a
+    mega-duplicate cluster (millions of identical boilerplate docs)
+    reduces to one partial row per map partition before the shuffle —
+    no hot partition. (A Window over partitionBy(fp) would put the whole
+    cluster in one task.)
+    """
+    with_fp = df.withColumn("fp", fingerprint(F.col(text_col)))
+    reps = with_fp.groupBy("fp").agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
     )
+    return with_fp.join(reps, ["fp", id_col])
 
 
 def token_hash(col):
@@ -118,20 +120,55 @@ def jaccard_pairs(
     threshold_den: int = 10,
 ) -> DataFrame:
     """Near-dup pairs by word-set Jaccard >= num/den, exact integer
-    comparison (inter*den >= num*union). Candidates via shared-token
-    equi-join (skew note: extremely common tokens fan out — at scale,
-    drop top-frequency tokens from the candidate key first)."""
-    tok = df.select(id_col, F.explode(words(F.col(text_col))).alias("w")).distinct()
+    comparison (inter*den >= num*union).
+
+    Candidate generation uses LOSSLESS prefix filtering (Bayardo et al.
+    WWW'07 "Scaling Up All Pairs"; Xiao et al. WWW'08 PPJoin; the
+    MapReduce formulation is Vernica et al. SIGMOD'10): order each doc's
+    tokens by ascending global document frequency (ties by token), keep
+    only the first ``sz - ceil(t*sz) + 1`` tokens as the join key. Any
+    pair with Jaccard >= t MUST share a prefix token, so recall is exact,
+    while the join fans out only on RARE tokens — the common-token
+    ("the") quadratic blowup of a naive shared-token join never happens.
+    Verification recomputes the true intersection for surviving
+    candidates only.
+    """
+    tok = (
+        df.select(id_col, F.explode(words(F.col(text_col))).alias("w"))
+        .distinct()
+        .persist()
+    )
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    l = tok.select(F.col(id_col).alias("a"), "w")
-    r = tok.select(F.col(id_col).alias("b"), "w")
-    inter = (
-        l.join(r, "w")
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
+    # per-doc token position in the GLOBAL (dfreq asc, token asc) order
+    pos_w = Window.partitionBy(id_col).orderBy("dfreq", "w")
+    ranked = (
+        tok.join(dfreq, "w")
+        .join(sizes, id_col)
+        .withColumn("pos", F.row_number().over(pos_w))
+    )
+    # prefix length = sz - ceil(t*sz) + 1  (integer ceil via DIV)
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("sz")
+        - F.expr(f"({threshold_num} * sz + {threshold_den} - 1) DIV {threshold_den}")
+        + 1
+    ).select(id_col, "w")
+    cand = (
+        prefix.select(F.col(id_col).alias("a"), "w")
+        .join(prefix.select(F.col(id_col).alias("b"), "w"), "w")
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # verify: true intersection over candidate pairs only
+    inter = (
+        cand.join(tok.select(F.col(id_col).alias("a"), "w"), "a")
+        .join(tok.select(F.col(id_col).alias("b"), "w"), ["b", "w"])
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
+    out = (
         inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
         .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
         .withColumn("uni", F.col("sza") + F.col("szb") - F.col("inter"))
@@ -140,69 +177,78 @@ def jaccard_pairs(
         )
         .select("a", "b", "inter", "uni")
     )
+    return out
 
 
-_SIMHASH_BITS = 64
+_SIMHASH_BITS = 60  # md5-hex-prefix hash (the portable-hash policy) = 60 bits
 
 
-@F.pandas_udf(T.LongType())
-def simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over word tokens (Arrow-vectorized; numpy bit ops).
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sh): 60-bit SimHash per doc, entirely JVM-side codegen.
 
-    Per doc: each token hashes to 64 bits (blake2b of the token, public
-    stdlib); bit i votes +1/-1; sign of the vote sum forms the sketch.
+    Shape: explode distinct word tokens, hash each token with the same
+    md5-prefix policy as ``token_hash`` (engine-portable), then ONE
+    groupBy(id) whose 60 aggregate expressions are the per-bit ±1 vote
+    sums ``sum(when(bit_set, 1).otherwise(-1))``; the signature packs the
+    vote signs. No Python in the path — partial aggregation makes a
+    billion-token doc reduce map-side, and the DuckDB oracle reproduces
+    the sketch bit-for-bit.
+
+    Docs with no alphanumeric tokens produce no signature row (excluded
+    from near-dup pairing by definition).
     """
-    import hashlib
-
-    out = np.zeros(len(text), dtype=np.int64)
-    for i, t in enumerate(text):
-        if not t:
-            continue
-        toks = [w for w in _simhash_split(t) if w]
-        if not toks:
-            continue
-        hs = np.array(
-            [
-                int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-                for w in set(toks)
-            ],
-            dtype=np.uint64,
+    tok = (
+        df.select(
+            F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("w")
         )
-        bits = ((hs[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)) & 1).astype(
-            np.int64
-        )
-        votes = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for b in range(_SIMHASH_BITS):
-            if votes[b] > 0:
-                sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig.astype(np.int64))
-    return pd.Series(out)
-
-
-def _simhash_split(t: str) -> list[str]:
-    import re
-
-    return re.split(r"[^a-z0-9]+", t.lower())
+        .distinct()
+        .withColumn("h", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long"))
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    sig = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return tok.groupBy("id").agg(*votes).select("id", sig.cast("long").alias("sh"))
 
 
 def simhash_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidate
-    generation by banding the 64-bit sketch into 4 x 16-bit chunks
-    (pigeonhole: <=3 differing bits => at least one identical chunk)."""
-    s = df.select(id_col, simhash64(F.col(text_col)).alias("sh"))
-    chunks = [
-        F.struct(
-            F.lit(c).alias("cid"),
-            F.shiftrightunsigned(F.col("sh"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Candidate generation bands the 60-bit sketch into (max_hamming + 1)
+    chunks (pigeonhole: <= max_hamming differing bits => at least one
+    identical chunk), so the join is an equi-join on (chunk_id, chunk),
+    never all-pairs.
+    """
+    n_chunks = max_hamming + 1
+    width = _SIMHASH_BITS // n_chunks
+    s = simhash_table(df, text_col, id_col)
+    chunks = []
+    for c in range(n_chunks):
+        lo = c * width
+        w = _SIMHASH_BITS - lo if c == n_chunks - 1 else width
+        chunks.append(
+            F.struct(
+                F.lit(c).alias("cid"),
+                F.shiftrightunsigned(F.col("sh"), lo)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("ck"),
+            )
         )
-        for c in range(4)
-    ]
-    buckets = s.select(
-        F.col(id_col).alias("id"), "sh", F.explode(F.array(*chunks)).alias("c")
-    ).select("id", "sh", F.col("c.cid").alias("cid"), F.col("c.ck").alias("ck"))
+    buckets = s.select("id", "sh", F.explode(F.array(*chunks)).alias("c")).select(
+        "id", "sh", F.col("c.cid").alias("cid"), F.col("c.ck").alias("ck")
+    )
     l = buckets.select(F.col("id").alias("a"), F.col("sh").alias("sha"), "cid", "ck")
     r = buckets.select(F.col("id").alias("b"), F.col("sh").alias("shb"), "cid", "ck")
     return (

@@ -6,11 +6,26 @@ breaking frequency ties by the SMALLEST label (not hash order) — that is
 what makes the output identical at any parallelism (local[8] == local[32]
 bitwise, SURVEY.md §7.3).
 
-One round = one join (labels onto the symmetric edge list) + one
-groupBy(dst,label).count + one per-dst argmax. The argmax is a max_by on
-a packed (count, -label) struct rather than a window row_number —
-a window would sort every (dst) group; max_by is a single hash-agg pass
-with partial aggregation, the skew-safe choice for supernodes.
+Loop discipline (same as operators/pagerank.py — measured there):
+- the symmetric edge table is hash-partitioned by ``src`` ONCE and
+  persisted; the per-round labels join (sym.src == labels.id) is
+  co-partitioned with a shuffle_hash hint, so the 2|E| edge rows are
+  never re-shuffled or re-sorted inside the loop;
+- ONE exchange per round: messages repartition(P, dst). Both mode
+  aggregations (groupBy(dst,label) then argmax per dst) run on that
+  partitioning with no further exchange (HashPartitioning(dst) satisfies
+  the (dst,label) grouping — the subset rule);
+- the join of the per-dst argmax back onto labels is co-partitioned
+  (HashPartitioning(dst) vs HashPartitioning(id), same count) — no
+  exchange;
+- change detection is a COLUMN (`changed`), not a self-join: the new
+  state row carries old-vs-new inline and one aggregate scan returns the
+  round's change count — the driver holds a single scalar;
+- the argmax is min_by over a packed (-cnt, label) struct, a single
+  hash-agg with partial aggregation — skew-safe for supernodes (a
+  window row_number would sort every dst group);
+- localCheckpoint every round truncates the exponentially-growing plan;
+  superseded checkpoint blocks are freed explicitly.
 
 Reference capability donor: mode aggregation with deterministic pick
 (/root/reference/src/rad_ecg/scripts/porcine/pig_extract.py:1007) and
@@ -39,6 +54,7 @@ from rad_ecg_spark.operators.graph_core import (
 class LabelPropStats:
     iterations: int = 0
     changes: list[int] = field(default_factory=list)
+    iter_wall_s: list[float] = field(default_factory=list)
     converged: bool = False
 
 
@@ -51,6 +67,8 @@ def label_propagation(
     """DataFrame(id, label). Converges when no vertex changes label
     (synchronous LP can 2-cycle on bipartite structures — max_iter bounds
     that; the fixed iteration count is itself deterministic)."""
+    import time as _time
+
     spark = edges.sparkSession
     if stats is None:
         stats = LabelPropStats()
@@ -59,19 +77,33 @@ def label_propagation(
     if num_partitions is None:
         num_partitions = size_partitions(spark, sym0.count())
     sym = (
-        sym0.repartition(num_partitions, "dst")
+        sym0.repartition(num_partitions, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sym.count()
     sym0.unpersist()
-    verts = vertices_of(edges).repartition(num_partitions, "id").persist()
-    labels = verts.select("id", F.col("id").alias("label")).persist()
+    labels = (
+        vertices_of(edges)
+        .repartition(num_partitions, "id")
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
 
     with pinned_loop_conf(spark):
       for it in range(max_iter):
-        # messages flow src -> dst; join on src, aggregate per dst
-        msgs = sym.join(labels, sym.src == labels.id).select("dst", "label")
-        counts = msgs.groupBy("dst", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        t_iter = _time.monotonic()
+        # messages flow src -> dst; the join is co-partitioned (sym by
+        # src, labels by id), shuffle_hash builds over the labels slice.
+        msgs = sym.join(
+            labels.hint("shuffle_hash"), sym.src == labels.id
+        ).select("dst", "label")
+        # THE round's single exchange; both groupBys below are satisfied
+        # by HashPartitioning(dst) (subset rule) — no further shuffle.
+        counts = (
+            msgs.repartition(num_partitions, "dst")
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
         # argmax by (cnt desc, label asc): min_by over struct(-cnt, label)
         best = counts.groupBy("dst").agg(
             F.min_by("label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))).alias(
@@ -79,33 +111,27 @@ def label_propagation(
             )
         )
         new_labels = (
-            verts.join(best, verts.id == best.dst, "left")
+            labels.join(best.hint("shuffle_hash"), labels.id == best.dst, "left")
             .select(
-                "id",
-                F.coalesce(F.col("new_label"), F.col("id")).alias("label"),
+                labels.id,
+                F.coalesce(F.col("new_label"), labels.label).alias("label"),
+                # change detection inline — no self-join, one agg scan
+                (F.coalesce(F.col("new_label"), labels.label) != labels.label)
+                .cast("long")
+                .alias("changed"),
             )
-            # truncate lineage every iteration: the new-labels plan embeds
-            # the old-labels plan multiple times; without this the logical
-            # plan grows exponentially (see operators/pagerank.py doc).
+            # truncate lineage every iteration (see operators/pagerank.py)
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.select(F.col("id").alias("oid"), F.col("label").alias("old")),
-                new_labels.id == F.col("oid"),
-            )
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels.unpersist()
+        changed = int(new_labels.agg(F.sum("changed")).collect()[0][0])
         free_local_checkpoint(labels)
         labels = new_labels
         stats.iterations = it + 1
         stats.changes.append(changed)
+        stats.iter_wall_s.append(round(_time.monotonic() - t_iter, 3))
         if changed == 0:
             stats.converged = True
             break
 
     sym.unpersist()
-    verts.unpersist()
     return labels.select("id", "label")

@@ -2,12 +2,20 @@
 
 - brute-force cosine top-k: exact baseline. JVM-side only —
   zip_with + aggregate for the dot product, no Python in the loop.
-- LSH-bucketed ANN (random-hyperplane signs): the scale path. Both
-  sides hash to sign-pattern buckets; only same-bucket pairs are
-  scored. Hyperplanes are deterministic (seeded) so results are
-  reproducible at any parallelism.
-- IVF-style variant: coarse centroids by k lowest vec_ids' vectors
-  (deterministic seeding), assign, probe nearest cells only.
+- banded multi-table hyperplane LSH (the scale path): b independent
+  tables of r hyperplane sign-bits each; candidates are pairs sharing
+  ANY table's bucket (same banding scheme as the MinHash LSH in
+  operators/dedup.py). With r bits per table the expected bucket size is
+  n / 2^r PER TABLE, so the self-join never degenerates toward a cross
+  product the way a single wide bucket would; ``max_bucket`` drops
+  pathological mega-buckets (documented recall tradeoff, the standard
+  production mitigation). Hyperplanes are deterministic (seeded) so
+  results are reproducible at any parallelism — and are embedded as
+  literals so a DuckDB oracle reproduces buckets and scores exactly.
+- IVF (inverted-file) ANN: coarse k-means quantization via spark.ml
+  KMeans (fixed seed), vectors assigned to their nearest centroid cell;
+  each query probes only the ``nprobe`` nearest cells. The centroid set
+  is tiny and broadcast; the candidate join is an equi-join on cell id.
 
 Reference capability donor: top-k discord selection
 (/root/reference/src/rad_ecg/scripts/ml/anomaly/stump_anom.py:92) and
@@ -41,6 +49,20 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _dim_of(vectors: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Explicit dim wins; otherwise read one row with a clear error on
+    an empty table (never silently assume)."""
+    if dim is not None:
+        return dim
+    row = vectors.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer embedding dim: '{vec_col}' has no non-null rows; "
+            "pass dim= explicitly"
+        )
+    return len(row[0])
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -69,52 +91,82 @@ def brute_force_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+def hyperplanes(dim: int, n_tables: int, bits: int, seed: int = 42) -> list[list[list[float]]]:
+    """planes[t][i] = the i-th hyperplane of table t (deterministic)."""
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim)).tolist()
+    return rng.standard_normal((n_tables, bits, dim)).tolist()
 
 
-def lsh_bucket(vec_col, planes: list[list[float]]):
-    """Sign-pattern bucket id for a vector column: bit i = sign(v·p_i)."""
-    bits = []
-    for i, p in enumerate(planes):
-        dot = _dot(vec_col, F.array(*[F.lit(float(x)) for x in p]))
-        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+def band_buckets(vec_col, planes: list[list[list[float]]]):
+    """Array of (table_id, bucket) structs: bucket bit i of table t is
+    sign(v · p_ti). All JVM expressions (zip_with/aggregate folds)."""
+    out = []
+    for t, table in enumerate(planes):
+        bucket = None
+        for i, p in enumerate(table):
+            dot = _dot(vec_col, F.array(*[F.lit(float(x)) for x in p]))
+            bit = F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        out.append(
+            F.struct(F.lit(t).alias("tid"), bucket.cast("long").alias("bucket"))
+        )
+    return F.array(*out)
+
+
+def _bucketed(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes,
+    max_bucket: int | None,
+) -> DataFrame:
+    """(id, vec, tid, bucket) rows, one per LSH table, with mega-buckets
+    (> max_bucket members) dropped — bounds every join task."""
+    b = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(band_buckets(F.col(vec_col), planes)).alias("tb"),
+    ).select("id", "vec", F.col("tb.tid").alias("tid"), F.col("tb.bucket").alias("bucket"))
+    if max_bucket is not None:
+        sizes = b.groupBy("tid", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
+        b = b.join(
+            F.broadcast(sizes.filter(F.col("bsz") > max_bucket)),
+            ["tid", "bucket"],
+            "left_anti",
+        )
+    return b
 
 
 def lsh_ann_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 6,
+    n_tables: int = 4,
+    bits: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_bucket: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    bucket. At web scale the bucket join is an equi-join (shuffle by
-    bucket), vs brute force's full cross product."""
-    if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes)
-    v = vectors.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vvec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    """Approximate top-k: candidates restricted to vectors sharing ANY of
+    the query's ``n_tables`` band buckets (2^bits buckets per table).
+    The candidate join is an equi-join on (table, bucket) — expected
+    candidates per query ≈ n_tables * n / 2^bits, never O(n)."""
+    dim = _dim_of(vectors, vec_col, dim)
+    planes = hyperplanes(dim, n_tables, bits, seed)
+    v = _bucketed(vectors, id_col, vec_col, planes, max_bucket)
+    q = _bucketed(queries, id_col, vec_col, planes, max_bucket=None).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec"), "tid", "bucket"
     )
-    q = queries.select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("qvec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    cand = (
+        v.join(F.broadcast(q), ["tid", "bucket"])
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", "qvec", F.col("id").alias("vid"), F.col("vec").alias("vvec"))
+        .dropDuplicates(["qid", "vid"])
     )
-    scored = (
-        v.join(F.broadcast(q), "bucket")
-        .filter(F.col("vid") != F.col("qid"))
-        .select("qid", "vid", cosine(F.col("qvec"), F.col("vvec")).alias("cos"))
+    scored = cand.select(
+        "qid", "vid", cosine(F.col("qvec"), F.col("vvec")).alias("cos")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vid"))
     return (
@@ -127,23 +179,89 @@ def lsh_ann_topk(
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.98,
-    n_planes: int = 6,
+    n_tables: int = 4,
+    bits: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
+    max_bucket: int | None = 10_000,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH self-join."""
-    dim = len(vectors.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes)
-    v = vectors.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    l = v.select(F.col("id").alias("a"), F.col("vec").alias("va"), "bucket")
-    r = v.select(F.col("id").alias("b"), F.col("vec").alias("vb"), "bucket")
+    """Embedding-cosine near-duplicate pairs via banded LSH self-join.
+    Each table's bucket join is bounded (expected n/2^bits per bucket,
+    hard-capped by max_bucket), so the self-join cost is
+    ~ n_tables * sum(bucket_size^2) — never the n^2 cross product."""
+    dim = _dim_of(vectors, vec_col, dim)
+    planes = hyperplanes(dim, n_tables, bits, seed)
+    v = _bucketed(vectors, id_col, vec_col, planes, max_bucket)
+    l = v.select(F.col("id").alias("a"), F.col("vec").alias("va"), "tid", "bucket")
+    r = v.select(F.col("id").alias("b"), F.col("vec").alias("vb"), "tid", "bucket")
     return (
-        l.join(r, "bucket")
+        l.join(r, ["tid", "bucket"])
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "va", "vb")
+        .dropDuplicates(["a", "b"])
         .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: spark.ml KMeans coarse quantizer (fixed
+    seed), vectors live in their nearest-centroid cell, queries probe the
+    ``nprobe`` nearest cells only. The scan per query is an equi-join on
+    cell id against ~nprobe/n_cells of the corpus.
+
+    At 100 TB: KMeans fits on a sample, ``transform`` is a map-side pass
+    (centroids broadcast by spark.ml), and the candidate join shuffles by
+    cell id — no all-pairs stage anywhere.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vvec"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(v.select("features"))
+    assigned = model.transform(v).select(
+        "vid", "vvec", F.col("prediction").alias("cell")
+    )
+    # rank each query's distance to every centroid; keep nprobe cells.
+    # centroids are tiny (n_cells × dim) → literal arrays, JVM expressions.
+    cents = [c.tolist() for c in model.clusterCenters()]
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    cell_structs = []
+    for ci, c in enumerate(cents):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(F.col("qvec"), carr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cell_structs.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
+    probe = (
+        q.select("qid", "qvec", F.explode(F.slice(F.array_sort(F.array(*cell_structs)), 1, nprobe)).alias("pc"))
+        .select("qid", "qvec", F.col("pc.cell").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probe), "cell")
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", "vid", cosine(F.col("qvec"), F.col("vvec")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "rk", "vid", "cos")
     )

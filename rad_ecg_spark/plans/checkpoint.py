@@ -77,11 +77,21 @@ class CheckpointManager:
         meta.coalesce(1).write.mode("append").parquet(self._meta_dir())
 
     def last_complete(self) -> int | None:
-        """Max complete iteration, or None if no checkpoint exists."""
+        """Max complete iteration, or None if no checkpoint exists.
+
+        Only "no checkpoint yet" is swallowed; a corrupt/unreadable _meta
+        must PROPAGATE — treating it as 'no checkpoint' would silently
+        restart from iteration 0 and overwrite good snapshots."""
+        if not os.path.isdir(self._meta_dir()):
+            return None
+        from pyspark.errors import AnalysisException
+
         try:
             meta = self.spark.read.parquet(self._meta_dir())
-        except Exception:
-            return None
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+                return None  # dir exists but holds no data yet
+            raise
         row = (
             meta.filter(F.col("status") == "complete")
             .agg(F.max("iteration").alias("it"))

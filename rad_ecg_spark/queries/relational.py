@@ -172,7 +172,10 @@ def q_longest_streak(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = (
-        ev.withColumn("valid", (F.col("value") > 250).cast("int"))
+        # coalesce: a NULL value is INVALID and breaks the streak, exactly
+        # like the oracle's CASE WHEN ... ELSE 0 (a bare (value > 250)
+        # would yield NULL and be silently skipped by sum()).
+        ev.withColumn("valid", F.coalesce(F.col("value") > 250, F.lit(False)).cast("int"))
         .withColumn("inv_run", F.sum(1 - F.col("valid")).over(w))
     )
     runs = (
@@ -745,9 +748,17 @@ def q_set_ops(spark, sf_dir):
     both = clickers.intersect(buyers)
     only_click = clickers.subtract(buyers)  # EXCEPT (distinct)
     either = clickers.union(buyers).distinct()
-    return spark.createDataFrame(
-        [("both", both.count()), ("click_only", only_click.count()), ("either", either.count())],
-        "segment string, n_users long",
+
+    # one declarative plan, ONE job — no driver-side .count() loops
+    def seg(name, d):
+        return d.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("segment"), "n_users"
+        )
+
+    return (
+        seg("both", both)
+        .unionByName(seg("click_only", only_click))
+        .unionByName(seg("either", either))
     )
 
 

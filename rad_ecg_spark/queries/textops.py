@@ -245,6 +245,131 @@ SELECT qid, CAST(rk AS INT) AS rk, vid,
 FROM ranked WHERE rk <= {TOPK_K}"""
 
 
+# --- SimHash near-dup pairs (60-bit sketch, JVM-side) --------------------
+
+SIMHASH_MAX_HAMMING = 3
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from rad_ecg_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=SIMHASH_MAX_HAMMING
+    )
+
+
+def _simhash_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    from rad_ecg_spark.operators.dedup import _SIMHASH_BITS
+
+    w = WORDS_SQL.format(c="text")
+    n_chunks = max_hamming + 1
+    width = _SIMHASH_BITS // n_chunks
+    chunk_rows = []
+    for c in range(n_chunks):
+        lo = c * width
+        cw = _SIMHASH_BITS - lo if c == n_chunks - 1 else width
+        chunk_rows.append(
+            f"SELECT id, sh, {c} AS c, (CAST(sh AS UBIGINT) >> {lo}) & {(1 << cw) - 1} AS ck FROM sig"
+        )
+    chunks_union = "\nUNION ALL\n".join(chunk_rows)
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id AS id, unnest(list_distinct({w})) AS w FROM documents
+), th AS (
+  SELECT id, CAST(concat('0x', substring(md5(w), 1, 15)) AS UBIGINT) AS h FROM tok
+), votes AS (
+  SELECT id, bb.b AS b,
+         sum(CASE WHEN ((h >> bb.b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range({_SIMHASH_BITS})) AS b) bb
+  GROUP BY id, bb.b
+), sig AS (
+  SELECT id,
+         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS UBIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
+  FROM votes GROUP BY id
+), buckets AS (
+{chunks_union}
+), cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b, l.sh AS sha, r.sh AS shb
+  FROM buckets l JOIN buckets r ON l.c = r.c AND l.ck = r.ck AND l.id < r.id
+)
+SELECT a, b,
+       CAST(bit_count(xor(CAST(sha AS UBIGINT), CAST(shb AS UBIGINT))) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(CAST(sha AS UBIGINT), CAST(shb AS UBIGINT))) <= {max_hamming}"""
+
+
+# --- deterministic banded hyperplane LSH ANN (oracle-checkable) ----------
+
+LSH_TABLES, LSH_BITS, LSH_SEED, LSH_DIM = 2, 8, 42, 64
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    from rad_ecg_spark.operators.similarity import lsh_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    r = lsh_ann_topk(
+        e, q, k=TOPK_K, n_tables=LSH_TABLES, bits=LSH_BITS, dim=LSH_DIM,
+        seed=LSH_SEED,
+    )
+    return r.select(
+        "qid", "rk", "vid", F.round(F.col("cos") * 1e6).cast("long").alias("cos_e6")
+    )
+
+
+def _lsh_ann_sql() -> str:
+    """DuckDB twin: the seeded hyperplanes are embedded as double
+    literals (repr round-trip = identical IEEE doubles in both engines);
+    bucket bits and cosine use explicit left-assoc folds that match
+    Spark's aggregate(zip_with(...)) sequentially."""
+    from rad_ecg_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(LSH_DIM, LSH_TABLES, LSH_BITS, LSH_SEED)
+
+    def dot(plane):
+        return " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * {plane[j]!r}" for j in range(LSH_DIM)
+        )
+
+    bucket_cols = []
+    for t in range(LSH_TABLES):
+        bits = " + ".join(
+            f"CASE WHEN ({dot(planes[t][i])}) >= 0 THEN {1 << i} ELSE 0 END"
+            for i in range(LSH_BITS)
+        )
+        bucket_cols.append(f"CAST({bits} AS BIGINT) AS bk{t}")
+    bucket_sel = ",\n    ".join(bucket_cols)
+    same_bucket = " OR ".join(f"v.bk{t} = q.bk{t}" for t in range(LSH_TABLES))
+    dim = LSH_DIM
+    dotqv = " + ".join(
+        f"CAST(q.embedding[{i}] AS DOUBLE) * v.embedding[{i}]" for i in range(1, dim + 1)
+    )
+    qn = " + ".join(
+        f"CAST(q.embedding[{i}] AS DOUBLE) * q.embedding[{i}]" for i in range(1, dim + 1)
+    )
+    vn = " + ".join(
+        f"CAST(v.embedding[{i}] AS DOUBLE) * v.embedding[{i}]" for i in range(1, dim + 1)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+    {bucket_sel}
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS qid, v.vec_id AS vid,
+         ({dotqv}) / (sqrt({qn}) * sqrt({vn})) AS cos
+  FROM b q JOIN b v ON ({same_bucket}) AND v.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERY_VECS}
+), ranked AS (
+  SELECT qid, vid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rk
+  FROM scored
+)
+SELECT qid, CAST(rk AS INT) AS rk, vid,
+       CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+FROM ranked WHERE rk <= {TOPK_K}"""
+
+
 TEXT_QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup_summary": q_exact_dedup_summary,
@@ -253,6 +378,8 @@ TEXT_QUERIES = {
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "embedding_centroids": q_embedding_centroids,
     "cosine_topk": q_cosine_topk,
+    "simhash_pairs": q_simhash_pairs,
+    "lsh_ann_topk": q_lsh_ann_topk,
 }
 
 TEXT_ORACLES = {
@@ -263,4 +390,6 @@ TEXT_ORACLES = {
     "minhash_lsh_candidates": _minhash_lsh_sql_union(),
     "embedding_centroids": ORACLE_CENTROIDS,
     "cosine_topk": _cosine_topk_sql(),
+    "simhash_pairs": _simhash_sql(),
+    "lsh_ann_topk": _lsh_ann_sql(),
 }

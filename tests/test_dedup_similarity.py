@@ -107,10 +107,54 @@ class TestSimilarity:
         q = vecs.filter(F.col("vec_id").isin(0, 5, 10))
         bf = {(r["qid"], r["rk"]): r["vid"]
               for r in brute_force_topk(vecs, q, k=2).collect()}
+        # tight clusters + multiple tables: ANN must recover the exact
+        # top-2 (multi-table banding makes a same-cluster miss ~(1-p)^b)
         ann = {(r["qid"], r["rk"]): r["vid"]
-               for r in lsh_ann_topk(vecs, q, k=2, n_planes=4).collect()}
-        # tight clusters + few planes: ANN must recover the exact top-2
+               for r in lsh_ann_topk(vecs, q, k=2, n_tables=8, bits=4).collect()}
         assert ann == bf
+
+    def test_lsh_recall_vs_brute_force(self, spark):
+        """Recall@4 of the banded LSH vs the exact baseline on all 20
+        clustered vectors — must be 1.0 here (each cluster's 4 mates are
+        at cos ~0.9999; any real neighbor landing in no shared bucket
+        across 8 tables would be a construction bug, not noise)."""
+        vecs = self._vec_df(spark)
+        bf = {(r["qid"], r["vid"]) for r in brute_force_topk(vecs, vecs, k=4).collect()}
+        ann = {(r["qid"], r["vid"])
+               for r in lsh_ann_topk(vecs, vecs, k=4, n_tables=8, bits=4).collect()}
+        recall = len(bf & ann) / len(bf)
+        assert recall == 1.0
+
+    def test_lsh_mega_bucket_cap_bounds_join(self, spark):
+        """max_bucket drops pathological buckets: 50 IDENTICAL vectors all
+        share every bucket; with max_bucket=10 the self-join must emit no
+        pair from that bucket (bounded task), while distinct clusters
+        still pair up."""
+        rows = [(i, [1.0] * 8) for i in range(50)]
+        rows += [(100, [1.0, -1.0] * 4), (101, [1.0, -1.0] * 4)]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        pairs = {(r["a"], r["b"]) for r in
+                 embedding_neardup_pairs(vecs, threshold=0.99, max_bucket=10).collect()}
+        assert (100, 101) in pairs
+        assert not any(a < 50 and b < 50 for a, b in pairs)
+
+    def test_lsh_empty_vectors_clear_error(self, spark):
+        import pytest
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="cannot infer embedding dim"):
+            lsh_ann_topk(empty, empty, k=1)
+
+    def test_ivf_topk_finds_cluster_mates(self, spark):
+        from rad_ecg_spark.operators.similarity import ivf_topk
+
+        vecs = self._vec_df(spark)
+        q = vecs.filter(F.col("vec_id") == 0)
+        # 4 planted clusters, 4 cells, probe 2: the query's own cell holds
+        # its 4 jittered mates
+        top = ivf_topk(vecs, q, k=4, n_cells=4, nprobe=2).collect()
+        assert {r["vid"] for r in top} == {1, 2, 3, 4}
+        assert all(r["cos"] > 0.99 for r in top)
 
     def test_embedding_neardup_pairs(self, spark):
         vecs = self._vec_df(spark)
