@@ -38,8 +38,13 @@ BENCH_QUERY_NAMES = [
     "iqr_outliers",
     "rolling_median",
     "tumbling_window",
+    "sliding_window",
+    "episodes_udtf",
+    "stat_bundle",
     "doc_stats",
+    "simhash_pairs",
     "cosine_topk",
+    "lsh_ann_topk",
     "graph_pagerank_5iter",
     "graph_triangle_count",
     "graph_connected_components",

@@ -77,13 +77,16 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing at least one LSH band.
 
     Scale shape: signatures -> unpivot to (band_id, band_key, id) ->
-    self-join on the band bucket. Bucket sizes are bounded by hashing;
-    a pathological mega-bucket would be the salting case — at web scale
-    cap bucket size or add a secondary band hash.
+    self-join on the band bucket. ``max_bucket`` drops buckets with more
+    members than the cap BEFORE the self-join (a mega-bucket of boiler-
+    plate docs would otherwise cost |bucket|^2 in one task); capped
+    buckets are by definition huge duplicate clusters better handled by
+    exact_dedup first, so the recall tradeoff is explicit and bounded.
     """
     k = len(MINHASH_PARAMS)
     rows_per_band = k // bands
@@ -102,6 +105,13 @@ def minhash_lsh_candidates(
     buckets = sigs.select(
         F.col(id_col).alias("id"), F.explode(F.array(*band_cols)).alias("bk")
     ).select("id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+    if max_bucket is not None:
+        big = (
+            buckets.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") > max_bucket)
+        )
+        buckets = buckets.join(F.broadcast(big), ["band_id", "band_key"], "left_anti")
     l = buckets.select("band_id", "band_key", F.col("id").alias("a"))
     r = buckets.select("band_id", "band_key", F.col("id").alias("b"))
     return (

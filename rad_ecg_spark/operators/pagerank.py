@@ -90,10 +90,19 @@ def pagerank(
     resume: bool = False,
     stats: PageRankStats | None = None,
     dedupe_edges: bool = True,
+    hub_degree_threshold: int | None = None,
 ) -> DataFrame:
     """Returns DataFrame(id, rank). ``edges`` needs columns src, dst.
 
     Ranks sum to 1.0 at every iteration (dangling mass redistributed).
+
+    ``hub_degree_threshold``: when set, src vertices with out-degree >=
+    threshold take the supernode path (operators/skew.py) — their edges
+    stay in balanced natural partitioning and join a BROADCAST slice of
+    the rank state, while residual edges keep the co-partitioned
+    shuffle-hash path with per-key row counts bounded by the threshold.
+    Results are bit-identical to the unsplit plan (same contributions,
+    same aggregation).
     """
     import time as _time
 
@@ -136,6 +145,21 @@ def pagerank(
         verts.unpersist()
         return out
 
+    residual = hub_edges = hub_ids = None
+    if hub_degree_threshold is not None:
+        from rad_ecg_spark.operators.skew import split_hub_edges
+
+        residual, hub_edges, hub_ids = split_hub_edges(edges, hub_degree_threshold)
+        # residual inherits HashPartitioning(src) (broadcast anti-join
+        # preserves the streamed side's partitioning); hub edges get
+        # BALANCED round-robin partitioning — that is the point.
+        residual = residual.persist(StorageLevel.MEMORY_AND_DISK)
+        hub_edges = hub_edges.repartition(num_partitions).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        hub_ids = hub_ids.persist()
+        residual.count(), hub_edges.count(), hub_ids.count()
+
     start_iter = 0
     ranks = None
     if resume and checkpointer is not None:
@@ -171,15 +195,24 @@ def pagerank(
             # shuffle_hash: build a hash map over the per-partition ranks
             # slice; sort-merge would re-sort the edge table every
             # iteration. Both sides are already hash-partitioned.
-            contribs = (
-                edges.join(
-                    ranks.filter(F.col("outdeg") > 0).hint("shuffle_hash"),
-                    edges.src == ranks.id,
-                )
-                .select(F.col("dst"), (F.col("rank") / F.col("outdeg")).alias("w"))
-                .groupBy("dst")
-                .agg(F.sum("w").alias("in_sum"))
-            )
+            active = ranks.filter(F.col("outdeg") > 0)
+            if residual is None:
+                msgs = edges.join(
+                    active.hint("shuffle_hash"), edges.src == ranks.id
+                ).select(F.col("dst"), (F.col("rank") / F.col("outdeg")).alias("w"))
+            else:
+                # supernode path: hub edges (balanced partitioning) join a
+                # broadcast rank slice (<= |E|/threshold rows); residual
+                # keeps the co-partitioned path with bounded per-key rows
+                hub_slice = active.join(F.broadcast(hub_ids), "id", "left_semi")
+                m_rest = residual.join(
+                    active.hint("shuffle_hash"), residual.src == ranks.id
+                ).select(F.col("dst"), (F.col("rank") / F.col("outdeg")).alias("w"))
+                m_hub = hub_edges.join(
+                    F.broadcast(hub_slice), hub_edges.src == F.col("id")
+                ).select(F.col("dst"), (F.col("rank") / F.col("outdeg")).alias("w"))
+                msgs = m_rest.unionByName(m_hub)
+            contribs = msgs.groupBy("dst").agg(F.sum("w").alias("in_sum"))
             new_ranks = (
                 ranks.join(contribs.hint("shuffle_hash"), ranks.id == contribs.dst, "left")
                 .select(
@@ -236,4 +269,7 @@ def pagerank(
     result = ranks.select("id", "rank")
     edges.unpersist()
     verts.unpersist()
+    for df in (residual, hub_edges, hub_ids):
+        if df is not None:
+            df.unpersist()
     return result

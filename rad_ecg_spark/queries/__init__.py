@@ -10,8 +10,9 @@ doubles hash identically and are passed through untouched.
 """
 
 from rad_ecg_spark.queries.graph import GRAPH_ORACLES, GRAPH_QUERIES
+from rad_ecg_spark.queries.kernels import KERNEL_ORACLES, KERNEL_QUERIES
 from rad_ecg_spark.queries.relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES
 from rad_ecg_spark.queries.textops import TEXT_ORACLES, TEXT_QUERIES
 
-ALL_QUERIES = {**GRAPH_QUERIES, **RELATIONAL_QUERIES, **TEXT_QUERIES}
-ALL_ORACLES = {**GRAPH_ORACLES, **RELATIONAL_ORACLES, **TEXT_ORACLES}
+ALL_QUERIES = {**GRAPH_QUERIES, **RELATIONAL_QUERIES, **TEXT_QUERIES, **KERNEL_QUERIES}
+ALL_ORACLES = {**GRAPH_ORACLES, **RELATIONAL_ORACLES, **TEXT_ORACLES, **KERNEL_ORACLES}

@@ -1,0 +1,38 @@
+"""Pandas-kernel query family: grouped-map UDTF (group -> N rows) and
+the Series->Struct statistical metric bundle, both with exact DuckDB
+oracles (integer-sum policy, queries/__init__.py).
+"""
+
+from __future__ import annotations
+
+from rad_ecg_spark.functions.statkernel import bundle_oracle_sql, stat_bundle
+from rad_ecg_spark.operators.episodes import detect_episodes, episodes_oracle_sql
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- grouped-map UDTF: per-user episode extraction ----------------------
+# ref shape: per-section beat UDTF, peak_detect_v4.py:1407-1567
+
+def q_episodes(spark, sf_dir):
+    return detect_episodes(_t(spark, sf_dir, "events"), threshold=250.0)
+
+
+# --- Series->Struct statistical kernel bundle ---------------------------
+# ref shape: SQI metric bundle + gate, peak_detect_v4.py:132-233
+
+def q_stat_bundle(spark, sf_dir):
+    return stat_bundle(_t(spark, sf_dir, "events"))
+
+
+KERNEL_QUERIES = {
+    "episodes_udtf": q_episodes,
+    "stat_bundle": q_stat_bundle,
+}
+
+KERNEL_ORACLES = {
+    "episodes_udtf": episodes_oracle_sql(threshold=250.0),
+    "stat_bundle": bundle_oracle_sql(),
+}

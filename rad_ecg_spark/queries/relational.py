@@ -302,6 +302,13 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
 
 # --- 8. IQR outlier gate (porcine IQR filter analog) --------------------
 # ref: porcine/pig_extract.py:2459-2492
+#
+# Exactness-for-oracle tradeoff, documented: F.percentile is EXACT (it
+# sorts each group) because the DuckDB hash gate demands bit-identical
+# quantiles. At 100TB swap the two percentile() calls for
+# percentile_approx(value, [0.25, 0.75], 10_000) — a single-pass
+# mergeable sketch (no per-group sort); the 1.5*IQR gate is insensitive
+# to the sketch's bounded rank error.
 
 def q_iqr_outliers(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -828,3 +835,426 @@ RELATIONAL_ORACLES.update({
     "set_ops": ORACLE_SET_OPS,
     "correlation_exact": ORACLE_CORRELATION,
 })
+
+
+# --- 23. sliding (overlapping) window aggregation -------------------------
+# ref: 20%-overlap segmentation, utils.py:7-50; SURVEY §2.5
+
+def q_sliding_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "90 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_c"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("wstart_s"),
+            "n",
+            "sum_value_c",
+        )
+    )
+
+
+# every event falls in exactly window/slide = 4 sliding windows whose
+# starts are the k=0..3 slide-aligned points at or before ts
+ORACLE_SLIDING = """
+SELECT CAST(floor(epoch(ts) / 5400) AS BIGINT) * 5400 - k.k * 5400 AS wstart_s,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) k
+GROUP BY 1"""
+
+
+# --- 24. mean imputation (na.fill analog, per-group mean) ------------------
+# ref: fillna mean/median/mode, porcine/pig_extract.py:2409-2444
+
+def q_impute_mean(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    # deterministically poke holes (testdata has no NULL values), then
+    # fill each hole with its event_type's integer mean
+    holed = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 97 == 0, F.lit(None))
+        .otherwise(_cents(F.col("value")))
+        .alias("cents"),
+    )
+    means = holed.groupBy("event_type").agg(
+        F.sum("cents").alias("s"), F.count("cents").alias("c")
+    )
+    return (
+        holed.join(F.broadcast(means), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.coalesce(F.col("cents"), F.expr("s DIV c")).alias("imputed_c"),
+            F.col("cents").isNull().alias("was_null"),
+        )
+    )
+
+
+ORACLE_IMPUTE = """
+WITH holed AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 97 = 0 THEN NULL
+              ELSE CAST(round(value*100) AS BIGINT) END AS cents
+  FROM events
+), m AS (
+  SELECT event_type, CAST(sum(cents) AS BIGINT) // count(cents) AS mean_c
+  FROM holed GROUP BY event_type
+)
+SELECT event_id, h.event_type,
+       CAST(coalesce(cents, mean_c) AS BIGINT) AS imputed_c,
+       cents IS NULL AS was_null
+FROM holed h JOIN m ON h.event_type = m.event_type"""
+
+
+# --- 25. NN50/PNN50 conditional diff counts --------------------------------
+# ref: NN50/PNN50 HRV metrics, backups/v3.1 peak_detect_v3.py:1652-1653
+
+def q_nn50_pnn50(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (
+        ev.withColumn("cents", _cents(F.col("value")))
+        .withColumn("diff", F.col("cents") - F.lag("cents").over(w))
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count("diff").alias("n_diffs"),
+            F.sum((F.abs(F.col("diff")) > 5000).cast("long")).alias("nn50"),
+        )
+        .filter(F.col("n_diffs") > 0)
+        .select(
+            "user_id",
+            "n_diffs",
+            "nn50",
+            F.expr("(nn50 * 1000000) DIV n_diffs").alias("pnn50_e6"),
+        )
+    )
+
+
+ORACLE_NN50 = """
+WITH d AS (
+  SELECT user_id,
+         CAST(round(value*100) AS BIGINT)
+           - lag(CAST(round(value*100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS diff
+  FROM events
+), g AS (
+  SELECT user_id, CAST(count(diff) AS BIGINT) AS n_diffs,
+         CAST(sum(CASE WHEN abs(diff) > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS nn50
+  FROM d GROUP BY user_id
+)
+SELECT user_id, n_diffs, nn50,
+       CAST((nn50 * 1000000) // n_diffs AS BIGINT) AS pnn50_e6
+FROM g WHERE n_diffs > 0"""
+
+
+# --- 26. grouped describe (count/mean/std/min/max per group) ---------------
+# ref: grouped describe, ml/anomaly/ml_anom.py:183-211
+
+def q_grouped_describe(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    g = (
+        ev.withColumn("cents", _cents(F.col("value")))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s1"),
+            F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+            F.min("cents").alias("min_c"),
+            F.max("cents").alias("max_c"),
+        )
+    )
+    # sample std from exact integer sums; double expr mirrored in oracle
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return g.select(
+        "event_type",
+        "n",
+        F.expr("s1 DIV n").alias("mean_c"),
+        F.floor(F.sqrt(var) * 1e6 + 0.5).cast("long").alias("std_e6"),
+        "min_c",
+        "max_c",
+    )
+
+
+ORACLE_DESCRIBE = """
+WITH g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(CAST(round(value*100) AS BIGINT) * CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s2,
+         CAST(min(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS min_c,
+         CAST(max(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS max_c
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n, CAST(s1 // n AS BIGINT) AS mean_c,
+       CAST(floor(sqrt((s2 - s1 * s1 / n) / (n - 1)) * 1e6 + 0.5) AS BIGINT) AS std_e6,
+       min_c, max_c
+FROM g"""
+
+
+# --- 27. trailing rolling-history baseline (deque maxlen=6 analog) ---------
+# ref: rolling PSD/MP history deque, peak_detect_v4.py:106-109
+
+def q_trailing_baseline(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, -1)
+    )
+    d = ev.withColumn("cents", _cents(F.col("value")))
+    return d.select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.count("cents").over(w).alias("hist_n"),
+        F.coalesce(F.sum("cents").over(w), F.lit(0)).alias("hist_sum"),
+        # anomaly gate vs trailing mean, exact integer cross-multiply
+        (F.col("cents") * F.count("cents").over(w) > F.lit(2) * F.coalesce(F.sum("cents").over(w), F.lit(0)))
+        .alias("above_2x_baseline"),
+    )
+
+
+ORACLE_TRAILING = """
+SELECT event_id, user_id, CAST(round(value*100) AS BIGINT) AS cents,
+  CAST(count(*) OVER w2 AS BIGINT) AS hist_n,
+  CAST(coalesce(sum(CAST(round(value*100) AS BIGINT)) OVER w2, 0) AS BIGINT) AS hist_sum,
+  CAST(round(value*100) AS BIGINT) * (count(*) OVER w2)
+    > 2 * coalesce(sum(CAST(round(value*100) AS BIGINT)) OVER w2, 0) AS above_2x_baseline
+FROM events
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)"""
+
+
+# --- 28. cross-channel alignment (wide columns per time bucket) ------------
+# ref: multi-channel dict-of-arrays alignment, porcine/pig_extract.py:1370-1423
+
+def q_channel_align(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hour = (F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600) * 3600).alias(
+        "hour_s"
+    )
+
+    def chan(t):
+        return (
+            ev.filter(F.col("event_type") == t)
+            .select(hour, "user_id", _cents(F.col("value")).alias("c"))
+            .groupBy("hour_s", "user_id")
+            .agg(F.sum("c").alias(f"{t}_c"))
+        )
+
+    return (
+        chan("click")
+        .join(chan("purchase"), ["hour_s", "user_id"])
+        .select(
+            "hour_s",
+            "user_id",
+            "click_c",
+            "purchase_c",
+            (F.col("purchase_c") - F.col("click_c")).alias("diff_c"),
+        )
+    )
+
+
+ORACLE_CHANNEL = """
+WITH c AS (
+  SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS hour_s, user_id,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS click_c
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), p AS (
+  SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS hour_s, user_id,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS purchase_c
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.hour_s, c.user_id, click_c, purchase_c,
+       CAST(purchase_c - click_c AS BIGINT) AS diff_c
+FROM c JOIN p ON c.hour_s = p.hour_s AND c.user_id = p.user_id"""
+
+
+# --- 29. OLS fit + VIF from exact integer sums ------------------------------
+# ref: regression + VIF, ml/anomaly/ml_anom.py:351-392,1300-1545
+
+def q_ols_fit(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    g = (
+        ev.withColumn("x", _cents(F.col("value")))
+        .withColumn("y", F.hour(F.col("ts").cast("timestamp")).cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / denx
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    r2 = (num * num) / (denx * deny)
+    vif = F.lit(1.0) / (F.lit(1.0) - r2)
+    return g.select(
+        "event_type",
+        "n",
+        F.floor(slope * 1e9 + 0.5).cast("long").alias("slope_e9"),
+        F.floor(intercept * 1e6 + 0.5).cast("long").alias("intercept_e6"),
+        F.floor(r2 * 1e9 + 0.5).cast("long").alias("r2_e9"),
+        F.floor(vif * 1e9 + 0.5).cast("long").alias("vif_e9"),
+    )
+
+
+ORACLE_OLS = """
+WITH g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sx,
+    CAST(sum(CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS BIGINT) AS sy,
+    CAST(sum(CAST(round(value*100) AS BIGINT) * CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS BIGINT) AS sxy,
+    CAST(sum(CAST(round(value*100) AS BIGINT) * CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sxx,
+    CAST(sum(CAST(EXTRACT(hour FROM ts) AS BIGINT) * CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS BIGINT) AS syy
+  FROM events GROUP BY event_type
+), d AS (
+  SELECT event_type, n,
+    CAST(n*sxy - sx*sy AS DOUBLE) AS num,
+    CAST(n*sxx - sx*sx AS DOUBLE) AS denx,
+    CAST(n*syy - sy*sy AS DOUBLE) AS deny,
+    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+    CAST(n AS DOUBLE) AS nd
+  FROM g
+)
+SELECT event_type, n,
+  CAST(floor((num / denx) * 1e9 + 0.5) AS BIGINT) AS slope_e9,
+  CAST(floor(((syd - (num / denx) * sxd) / nd) * 1e6 + 0.5) AS BIGINT) AS intercept_e6,
+  CAST(floor(((num * num) / (denx * deny)) * 1e9 + 0.5) AS BIGINT) AS r2_e9,
+  CAST(floor((1.0 / (1.0 - (num * num) / (denx * deny))) * 1e9 + 0.5) AS BIGINT) AS vif_e9
+FROM d"""
+
+RELATIONAL_QUERIES.update({
+    "sliding_window": q_sliding_window,
+    "impute_mean": q_impute_mean,
+    "nn50_pnn50": q_nn50_pnn50,
+    "grouped_describe": q_grouped_describe,
+    "trailing_baseline": q_trailing_baseline,
+    "channel_align": q_channel_align,
+    "ols_fit": q_ols_fit,
+})
+RELATIONAL_ORACLES.update({
+    "sliding_window": ORACLE_SLIDING,
+    "impute_mean": ORACLE_IMPUTE,
+    "nn50_pnn50": ORACLE_NN50,
+    "grouped_describe": ORACLE_DESCRIBE,
+    "trailing_baseline": ORACLE_TRAILING,
+    "channel_align": ORACLE_CHANNEL,
+    "ols_fit": ORACLE_OLS,
+})
+
+
+# --- 30. distribution-shift between consecutive windows --------------------
+# ref: distribution-shift gating between sections, porcine/stumpy_discord.py
+# (median/MAD shift checks); SURVEY §2.9 "distribution sketches between
+# windows". Exact-integer total-variation numerator:
+#   tv_num = sum_bins |p_i*Nq - q_i*Np|   (TV = tv_num / (2*Np*Nq))
+# so the oracle hash-matches without any cross-row double summation.
+
+def q_dist_shift(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    win = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 21600).alias("w")
+    binc = F.floor(F.col("value") / 50).cast("long").alias("bin")
+    hist = ev.select(win, binc).groupBy("w", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = ev.select(win).groupBy("w").agg(F.count(F.lit(1)).alias("total"))
+    cur = hist.select("w", "bin", F.col("cnt").alias("p"))
+    nxt = hist.select((F.col("w") - 1).alias("w"), "bin", F.col("cnt").alias("q"))
+    j = (
+        cur.join(nxt, ["w", "bin"], "full_outer")
+        .na.fill({"p": 0, "q": 0})
+        .join(totals.select("w", F.col("total").alias("np")), "w")
+        .join(
+            totals.select((F.col("w") - 1).alias("w"), F.col("total").alias("nq")), "w"
+        )
+    )
+    return j.groupBy("w", "np", "nq").agg(
+        F.sum(F.abs(F.col("p") * F.col("nq") - F.col("q") * F.col("np"))).alias(
+            "tv_num"
+        ),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+
+
+ORACLE_DIST_SHIFT = """
+WITH hist AS (
+  SELECT CAST(floor(epoch(ts)/21600) AS BIGINT) AS w,
+         CAST(floor(value/50) AS BIGINT) AS bin, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), totals AS (
+  SELECT CAST(floor(epoch(ts)/21600) AS BIGINT) AS w, count(*) AS total
+  FROM events GROUP BY 1
+), j AS (
+  SELECT coalesce(c.w, n.w) AS w, coalesce(c.bin, n.bin) AS bin,
+         coalesce(c.cnt, 0) AS p, coalesce(n.cnt, 0) AS q
+  FROM hist c FULL OUTER JOIN (SELECT w - 1 AS w, bin, cnt FROM hist) n
+    ON c.w = n.w AND c.bin = n.bin
+)
+SELECT j.w, CAST(tp.total AS BIGINT) AS np, CAST(tn.total AS BIGINT) AS nq,
+       CAST(sum(abs(p * tn.total - q * tp.total)) AS BIGINT) AS tv_num,
+       CAST(count(*) AS BIGINT) AS n_bins
+FROM j JOIN totals tp ON j.w = tp.w
+       JOIN totals tn ON j.w = tn.w - 1
+GROUP BY j.w, tp.total, tn.total"""
+
+RELATIONAL_QUERIES.update({"dist_shift": q_dist_shift})
+RELATIONAL_ORACLES.update({"dist_shift": ORACLE_DIST_SHIFT})
+
+
+# --- 31. ordered block stitch (groupBy sort+concat) -------------------------
+# ref: NPZ block stitcher, lib_adicht/load.py (per-channel ordered concat,
+# porcine/pig_extract.py:1408-1423). collect_list -> array_sort rebuilds
+# each user's value sequence in (ts, event_id) order INSIDE one row; the
+# positional checksum sum((pos+1)*cents) proves the ordering bit-for-bit
+# against the oracle's row_number formulation.
+
+def q_stitch_checksum(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    prepared = ev.select(
+        "user_id",
+        F.struct(
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+            F.col("event_id").alias("event_id"),
+            _cents(F.col("value")).alias("cents"),
+        ).alias("rec"),
+    )
+    arr = F.array_sort(F.collect_list("rec")).alias("arr")
+    g = prepared.groupBy("user_id").agg(arr)
+    acc0 = F.struct(F.lit(0).cast("long").alias("i"), F.lit(0).cast("long").alias("s"))
+    chk = F.aggregate(
+        F.col("arr"),
+        acc0,
+        lambda acc, x: F.struct(
+            (acc["i"] + 1).alias("i"),
+            (acc["s"] + (acc["i"] + 1) * x["cents"]).alias("s"),
+        ),
+    )
+    return g.select(
+        "user_id", F.size("arr").alias("n"), chk.getField("s").alias("checksum")
+    )
+
+
+ORACLE_STITCH = """
+WITH o AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS INT) AS n,
+       CAST(sum(rn * cents) AS BIGINT) AS checksum
+FROM o GROUP BY user_id"""
+
+RELATIONAL_QUERIES.update({"stitch_checksum": q_stitch_checksum})
+RELATIONAL_ORACLES.update({"stitch_checksum": ORACLE_STITCH})

@@ -1,0 +1,234 @@
+"""Grouped-map kernels, skew-aware joins, partwise checkpoints, CSV
+source, spark.ml stage — round-2 coverage tests."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestEpisodesUDTF:
+    def test_known_episode_structure(self, spark):
+        import datetime as dt
+
+        from rad_ecg_spark.operators.episodes import detect_episodes
+
+        t0 = dt.datetime(2024, 1, 1)
+        m = lambda k: t0 + dt.timedelta(minutes=k)  # noqa: E731
+        rows = [
+            # user 1: [300, 300], break, [400] -> two episodes
+            (1, m(0), 1, "c", 300.0, ""),
+            (2, m(1), 1, "c", 300.0, ""),
+            (3, m(2), 1, "c", 100.0, ""),
+            (4, m(3), 1, "c", 400.0, ""),
+            # user 2: never above threshold -> zero episodes
+            (5, m(0), 2, "c", 10.0, ""),
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+        got = {
+            (r["user_id"], r["episode_id"]): (r["n_events"], r["sum_cents"], r["peak_cents"])
+            for r in detect_episodes(ev, threshold=250.0).collect()
+        }
+        assert got == {
+            (1, 1): (2, 60000, 30000),
+            (1, 2): (1, 40000, 40000),
+        }
+
+
+class TestStatBundle:
+    def test_matches_spark_builtin_kurtosis(self, spark):
+        """The exact-integer kernel must agree with F.kurtosis (excess,
+        population) to float tolerance on the same floor(value) ints."""
+        from rad_ecg_spark.functions.statkernel import stat_bundle
+
+        ev = spark.range(0, 500).select(
+            F.lit("t").alias("event_type"),
+            (F.pmod(F.xxhash64("id"), F.lit(400)) + F.lit(0.25)).cast("double").alias("value"),
+        )
+        bundle = stat_bundle(ev).collect()[0]
+        ref = (
+            ev.select(F.floor("value").cast("double").alias("v"))
+            .agg(F.kurtosis("v").alias("k"), F.skewness("v").alias("s"))
+            .collect()[0]
+        )
+        assert abs(bundle["kurt_e6"] / 1e6 - ref["k"]) < 1e-4
+        assert abs(bundle["skew_e6"] / 1e6 - ref["s"]) < 1e-4
+
+
+class TestSkewAwarePageRank:
+    def test_star_graph_hub_path_balanced_and_exact(self, spark):
+        """100k-spoke star: with hub_degree_threshold the hub's edges ride
+        the broadcast path in BALANCED partitioning (max/median task rows
+        < 4x), and ranks stay 1e-12-equal to the unsplit plan."""
+        from rad_ecg_spark.operators.pagerank import pagerank
+        from rad_ecg_spark.operators.skew import split_hub_edges
+
+        n = 100_000
+        edges = spark.range(1, n + 1, 1, 8).select(
+            F.lit(0).alias("src"), F.col("id").alias("dst")
+        )
+        residual, hub_edges, hub_ids = split_hub_edges(edges, threshold=1000)
+        assert residual.count() == 0
+        assert {r["id"] for r in hub_ids.collect()} == {0}
+        sizes = [
+            r["n"]
+            for r in hub_edges.repartition(8)
+            .groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        assert max(sizes) / sorted(sizes)[len(sizes) // 2] < 4.0
+
+        base = {
+            r["id"]: r["rank"]
+            for r in pagerank(edges, tol=0.0, max_iter=3).collect()
+        }
+        split = {
+            r["id"]: r["rank"]
+            for r in pagerank(
+                edges, tol=0.0, max_iter=3, hub_degree_threshold=1000
+            ).collect()
+        }
+        assert base.keys() == split.keys()
+        assert all(abs(base[k] - split[k]) < 1e-12 for k in base)
+
+    def test_salted_join_matches_plain_join(self, spark):
+        from rad_ecg_spark.operators.skew import salted_join
+
+        big = spark.range(0, 10_000).select(
+            (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+        )
+        small = spark.createDataFrame(
+            [(0, "a"), (1, "b"), (2, "c")], "k long, tag string"
+        )
+        got = salted_join(big, small, "k", n_salts=8)
+        exp = big.join(small, "k")
+        assert got.count() == exp.count() == 10_000
+        assert got.groupBy("tag").count().orderBy("tag").collect() == (
+            exp.groupBy("tag").count().orderBy("tag").collect()
+        )
+
+
+class TestPartwiseCheckpoint:
+    def test_partial_rerun_writes_only_missing(self, spark, tmp_path):
+        from rad_ecg_spark.plans.partwise import write_state_partwise
+
+        df = spark.range(0, 1000, 1, 4).select("id", (F.col("id") * 2).alias("rank"))
+        out = str(tmp_path / "iter1")
+        st1 = write_state_partwise(df, out)
+        assert sorted(s["pid"] for s in st1) == [0, 1, 2, 3]
+        assert all(not s["skipped"] for s in st1)
+        files = sorted(os.listdir(out))
+        assert len(files) == 4 and not any(".tmp" in f for f in files)
+
+        # simulate a killed job: two partitions never landed
+        os.remove(os.path.join(out, files[1]))
+        os.remove(os.path.join(out, files[2]))
+        st2 = write_state_partwise(df, out)
+        assert sum(1 for s in st2 if s["skipped"]) == 2
+        assert sum(1 for s in st2 if not s["skipped"]) == 2
+        back = spark.read.parquet(out)
+        assert back.count() == 1000
+        assert back.agg(F.sum("rank")).collect()[0][0] == df.agg(F.sum("rank")).collect()[0][0]
+
+    def test_pagerank_resume_with_partwise_manager(self, spark, tmp_path):
+        from rad_ecg_spark.operators.pagerank import PageRankStats, pagerank
+        from rad_ecg_spark.plans.partwise import PartwiseCheckpointManager
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+        )
+        full = {
+            r["id"]: r["rank"]
+            for r in pagerank(edges, tol=0.0, max_iter=6).collect()
+        }
+        root = str(tmp_path / "ckpt")
+        cp1 = PartwiseCheckpointManager(spark, root, "pr")
+        pagerank(edges, tol=0.0, max_iter=3, checkpointer=cp1).count()
+        assert cp1.last_complete() == 3
+        cp2 = PartwiseCheckpointManager(spark, root, "pr")
+        st = PageRankStats()
+        resumed = {
+            r["id"]: r["rank"]
+            for r in pagerank(
+                edges, tol=0.0, max_iter=6, checkpointer=cp2, resume=True, stats=st
+            ).collect()
+        }
+        assert st.resumed_from == 3
+        assert all(abs(full[k] - resumed[k]) < 1e-15 for k in full)
+
+
+class TestCsvSource:
+    def test_schema_first_permissive_quarantine(self, spark, tmp_path):
+        from rad_ecg_spark.sources.csv_source import read_csv, split_corrupt
+
+        p = tmp_path / "in.csv"
+        p.write_text(
+            "id,name,score\n"
+            "1,alice,3.5\n"
+            "2,bob,not_a_number\n"
+            "3,carol,9.25\n"
+        )
+        df = read_csv(spark, str(p), "id long, name string, score double")
+        clean, bad = split_corrupt(df)
+        assert {r["id"] for r in clean.collect()} == {1, 3}
+        assert bad.count() == 1
+        assert "not_a_number" in bad.collect()[0]["raw_line"]
+
+
+class TestSparkMLStage:
+    def test_linear_regression_matches_closed_form_ols(self, spark):
+        """spark.ml LinearRegression (no regularization) on y = 3x + 7
+        + deterministic noise must recover the closed-form OLS slope."""
+        from pyspark.ml.feature import VectorAssembler
+        from pyspark.ml.regression import LinearRegression
+
+        df = spark.range(0, 200).select(
+            F.col("id").cast("double").alias("x"),
+            (
+                F.col("id") * 3.0
+                + 7.0
+                + (F.pmod(F.xxhash64("id"), F.lit(100)).cast("double") - 50.0) / 50.0
+            ).alias("y"),
+        )
+        # closed form from exact sums
+        s = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        ).collect()[0]
+        slope = (s["n"] * s["sxy"] - s["sx"] * s["sy"]) / (
+            s["n"] * s["sxx"] - s["sx"] * s["sx"]
+        )
+        assembled = VectorAssembler(inputCols=["x"], outputCol="features").transform(df)
+        model = LinearRegression(
+            featuresCol="features", labelCol="y", regParam=0.0
+        ).fit(assembled)
+        assert abs(model.coefficients[0] - slope) < 1e-6
+        assert abs(model.coefficients[0] - 3.0) < 0.01
+
+
+class TestMetadataScan:
+    def test_footer_scan_counts_without_data_read(self, spark):
+        from rad_ecg_spark.sources.metadata import column_stats, parquet_footer_scan
+
+        meta = parquet_footer_scan(spark, "/root/testdata/sf0.001").collect()
+        by_table = {os.path.basename(r["path"]): r["n_rows"]
+                    for r in meta if "events" in r["path"] or "region" in r["path"]}
+        # region is 5 rows at every SF; events sf0.001 is 1000
+        assert by_table.get("region.parquet") == 5
+        assert by_table.get("events.parquet") == 1000
+
+        stats = column_stats(
+            spark, "/root/testdata/sf0.001/region.parquet", "r_regionkey"
+        ).collect()
+        assert len(stats) >= 1
+        assert stats[0]["vmin"] == "0" and stats[0]["vmax"] == "4"

@@ -76,3 +76,116 @@ class TestMultimodal:
         plan = frame_sample_plan(media, every_n=5).collect()
         assert {r["frame_idx"] for r in plan} == {0}
         assert len(plan) == 10
+
+
+class TestStatefulStreaming:
+    def test_staleness_timeout_emits_stale_row(self, spark, tmp_path):
+        """Three ordered micro-batches; user 20 goes quiet after batch 0,
+        the watermark advances past its timeout, and the operator must
+        emit exactly one 'stale' row for it (reference semantics: >60s
+        staleness triggers a re-vet)."""
+        import datetime as dt
+        import os
+
+        from rad_ecg_spark.streaming.stateful import staleness_monitor
+
+        d = tmp_path / "stream_in"
+        d.mkdir()
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def mk(name, rows, mtime):
+            df = spark.createDataFrame(
+                rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+            )
+            p = str(d / name)
+            df.coalesce(1).write.mode("overwrite").parquet(p)
+            os.utime(p, (mtime, mtime))
+            for f in os.listdir(p):
+                os.utime(os.path.join(p, f), (mtime, mtime))
+            return p
+
+        m = lambda mins: t0 + dt.timedelta(minutes=mins)  # noqa: E731
+        mk("b0", [(1, m(0), 10, "click", 100.0, ""), (2, m(0), 20, "click", 200.0, "")], 1000)
+        mk("b1", [(3, m(10), 10, "click", 50.0, "")], 2000)
+        mk("b2", [(4, m(20), 10, "click", 25.0, "")], 3000)
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d) + "/*")
+        )
+        out = staleness_monitor(stream, watermark="1 minute", stale_after_ms=60_000)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stale_test")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql("SELECT * FROM stale_test").collect()
+        stale = [r for r in rows if r["status"] == "stale"]
+        assert len(stale) == 1 and stale[0]["user_id"] == 20
+        assert stale[0]["n_events"] == 1 and stale[0]["sum_cents"] == 20000
+        # user 10 stayed active through all three batches
+        active10 = [r for r in rows if r["user_id"] == 10 and r["status"] == "active"]
+        assert max(r["n_events"] for r in active10) == 3
+        assert not any(r["status"] == "stale" and r["user_id"] == 10 for r in rows)
+
+
+class TestRealCodecs:
+    def test_bmp_pipeline_matches_direct_decode(self, spark):
+        import numpy as np
+
+        from rad_ecg_spark.functions.multimodal import (
+            bmp_decode,
+            extract_image_features,
+            synth_media,
+        )
+
+        media = synth_media(spark, 8)
+        rows = {r["media_id"]: r for r in
+                media.join(extract_image_features(media), "media_id").collect()}
+        for mid, r in rows.items():
+            px = bmp_decode(bytes(r["payload"])).astype(np.float64)
+            luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+            assert abs(r["mean_luma"] - luma.mean()) < 1e-9
+            assert len(r["feat"]) == 8
+
+    def test_corrupt_payload_quarantined_not_fatal(self, spark):
+        from pyspark.sql import functions as F
+
+        from rad_ecg_spark.functions.multimodal import extract_image_features, synth_media
+
+        media = synth_media(spark, 6).withColumn(
+            "payload",
+            F.when(F.col("media_id") % 2 == 0, F.col("payload")).otherwise(
+                F.lit(b"not a bmp")
+            ),
+        )
+        got = {r["media_id"]: r["decode_ok"] for r in extract_image_features(media).collect()}
+        assert got == {i: (i % 2 == 0) for i in range(6)}
+
+    def test_audio_features_closed_form(self, spark):
+        import numpy as np
+
+        from rad_ecg_spark.functions.multimodal import (
+            extract_audio_features,
+            synth_media,
+            wav_decode,
+        )
+
+        media = synth_media(spark, 5, kind="audio")
+        rows = {r["media_id"]: r for r in
+                media.join(extract_audio_features(media), "media_id").collect()}
+        for mid, r in rows.items():
+            _, s = wav_decode(bytes(r["payload"]))
+            x = s.astype(np.float64)
+            assert r["n_samples"] == len(s) == 1600
+            assert abs(r["rms"] - float(np.sqrt(np.mean(x * x)))) < 1e-9
+            assert r["peak"] == int(np.max(np.abs(x)))
+            assert r["decode_ok"]
