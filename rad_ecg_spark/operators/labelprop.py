@@ -82,10 +82,15 @@ def label_propagation(
     )
     sym.count()
     sym0.unpersist()
+    # select BEFORE repartition: localCheckpoint records only the FIRST
+    # partitioning of a PartitioningCollection, and selecting
+    # id->label AFTER the repartition makes that hash(label), which the
+    # loop's join on id can't reuse (measured: one extra vertex-sized
+    # exchange per round).
     labels = (
         vertices_of(edges)
-        .repartition(num_partitions, "id")
         .select("id", F.col("id").alias("label"))
+        .repartition(num_partitions, "id")
         .localCheckpoint(eager=True)
     )
 
