@@ -232,3 +232,70 @@ class TestMetadataScan:
         ).collect()
         assert len(stats) >= 1
         assert stats[0]["vmin"] == "0" and stats[0]["vmax"] == "4"
+
+
+class TestUpsertSink:
+    def test_merge_upsert_latest_wins(self, spark, tmp_path):
+        import datetime as dt
+
+        from rad_ecg_spark.plans.upsert import merge_upsert
+
+        tgt = str(tmp_path / "tbl")
+        t = lambda k: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=k)  # noqa: E731
+        base = spark.createDataFrame(
+            [(1, t(0), 10.0), (2, t(0), 20.0)], "k long, ts timestamp, v double"
+        )
+        merge_upsert(spark, tgt, base, ["k"], "ts")
+        upd = spark.createDataFrame(
+            [
+                (2, t(5), 99.0),   # newer -> replaces
+                (1, t(0), 77.0),   # same ts duplicate -> update wins
+                (3, t(1), 30.0),   # brand new key
+            ],
+            "k long, ts timestamp, v double",
+        )
+        merge_upsert(spark, tgt, upd, ["k"], "ts")
+        got = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+        assert got == {1: 77.0, 2: 99.0, 3: 30.0}
+
+        # stale late row must NOT regress the newer value
+        late = spark.createDataFrame([(2, t(1), 5.0)], "k long, ts timestamp, v double")
+        merge_upsert(spark, tgt, late, ["k"], "ts")
+        got = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+        assert got[2] == 99.0
+
+    def test_streaming_foreach_batch_upsert(self, spark, tmp_path):
+        import datetime as dt
+        import os as _os
+
+        from rad_ecg_spark.plans.upsert import foreach_batch_upsert
+
+        src = tmp_path / "src"
+        src.mkdir()
+        t0 = dt.datetime(2024, 1, 1)
+
+        def mk(name, rows, mtime):
+            df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+            p = str(src / name)
+            df.coalesce(1).write.mode("overwrite").parquet(p)
+            _os.utime(p, (mtime, mtime))
+            for f in _os.listdir(p):
+                _os.utime(_os.path.join(p, f), (mtime, mtime))
+
+        mk("b0", [(1, t0, 1.0), (2, t0, 2.0)], 1000)
+        mk("b1", [(2, t0 + dt.timedelta(minutes=1), 22.0), (3, t0, 3.0)], 2000)
+        stream = (
+            spark.readStream.schema("k long, ts timestamp, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        tgt = str(tmp_path / "tbl")
+        q = foreach_batch_upsert(
+            stream, tgt, ["k"], "ts", checkpoint_dir=str(tmp_path / "ckpt")
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+        assert got == {1: 1.0, 2: 22.0, 3: 3.0}
