@@ -27,12 +27,29 @@ def q_stat_bundle(spark, sf_dir):
     return stat_bundle(_t(spark, sf_dir, "events"))
 
 
+# --- matrix-profile discord per user ------------------------------------
+# ref: stumpy discord search, ml/anomaly/stump_anom.py:60-110
+
+def q_matrix_profile(spark, sf_dir):
+    from rad_ecg_spark.operators.matrixprofile import matrix_profile_discord
+
+    return matrix_profile_discord(_t(spark, sf_dir, "events"), w=8)
+
+
+def _mp_oracle():
+    from rad_ecg_spark.operators.matrixprofile import matrix_profile_oracle_sql
+
+    return matrix_profile_oracle_sql(w=8)
+
+
 KERNEL_QUERIES = {
     "episodes_udtf": q_episodes,
     "stat_bundle": q_stat_bundle,
+    "matrix_profile_discord": q_matrix_profile,
 }
 
 KERNEL_ORACLES = {
     "episodes_udtf": episodes_oracle_sql(threshold=250.0),
     "stat_bundle": bundle_oracle_sql(),
+    "matrix_profile_discord": _mp_oracle(),
 }

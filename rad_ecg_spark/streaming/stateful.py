@@ -25,9 +25,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
-    "user_id long, status string, n_events long, sum_cents long, last_ms long"
+    "user_id long, status string, n_events long, sum_cents long, last_ms long, "
+    "recent_n int, recent_mean_c long"
 )
-STATE_SCHEMA = "n long, s long, last_ms long"
+STATE_SCHEMA = "n long, s long, last_ms long, recent array<long>"
+
+ROLLING_MAXLEN = 6  # reference's deque(maxlen=6) history bound
 
 
 def staleness_monitor(
@@ -35,12 +38,17 @@ def staleness_monitor(
     watermark: str = "1 minute",
     stale_after_ms: int = 60_000,
 ) -> DataFrame:
-    """Per-user running (count, sum) with a stale-key emission.
+    """Per-user running (count, sum) + a BOUNDED rolling history with a
+    stale-key emission.
 
-    Emits an ``active`` row per key per batch with the running totals;
-    when the event-time watermark passes last_seen + stale_after_ms the
-    key emits one ``stale`` row and its state is dropped (a later event
-    for the key starts fresh — the reference's re-vet)."""
+    State = (count, sum, last_seen, last-6-values buffer) — the exact
+    shape of the reference's bounded ``deque(maxlen=6)`` rolling history
+    (peak_detect_v4.py:106-109): state per key is O(1), never O(events).
+    Emits an ``active`` row per key per batch with running totals and
+    the rolling-window integer mean; when the event-time watermark
+    passes last_seen + stale_after_ms the key emits one ``stale`` row
+    and its state is dropped (a later event restarts fresh — the
+    reference's re-vet)."""
 
     def fn(
         key: Tuple[Any, ...],
@@ -48,40 +56,44 @@ def staleness_monitor(
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
         uid = key[0]
-        if state.hasTimedOut:
-            n, s, last_ms = state.get
-            state.remove()
-            yield pd.DataFrame(
+
+        def row(status, n, s, last_ms, recent):
+            rn = len(recent)
+            return pd.DataFrame(
                 {
                     "user_id": [uid],
-                    "status": ["stale"],
+                    "status": [status],
                     "n_events": [n],
                     "sum_cents": [s],
                     "last_ms": [last_ms],
+                    "recent_n": [rn],
+                    "recent_mean_c": [sum(recent) // rn if rn else 0],
                 }
             )
+
+        if state.hasTimedOut:
+            n, s, last_ms, recent = state.get
+            state.remove()
+            yield row("stale", n, s, last_ms, list(recent or []))
             return
-        n, s, last_ms = state.get if state.exists else (0, 0, 0)
+        n, s, last_ms, recent = (
+            state.get if state.exists else (0, 0, 0, [])
+        )
+        recent = list(recent or [])
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
+            pdf = pdf.sort_values(["ts_ms"], kind="mergesort")
             n += len(pdf)
             s += int(pdf["cents"].sum())
             last_ms = max(last_ms, int(pdf["ts_ms"].max()))
-        state.update((n, s, last_ms))
+            recent = (recent + [int(c) for c in pdf["cents"]])[-ROLLING_MAXLEN:]
+        state.update((n, s, last_ms, recent))
         # event-time timeout must be beyond the current watermark
         state.setTimeoutTimestamp(
             max(last_ms + stale_after_ms, state.getCurrentWatermarkMs() + 1)
         )
-        yield pd.DataFrame(
-            {
-                "user_id": [uid],
-                "status": ["active"],
-                "n_events": [n],
-                "sum_cents": [s],
-                "last_ms": [last_ms],
-            }
-        )
+        yield row("active", n, s, last_ms, recent)
 
     prepared = (
         stream.withWatermark("ts", watermark)

@@ -189,3 +189,41 @@ class TestRealCodecs:
             assert abs(r["rms"] - float(np.sqrt(np.mean(x * x)))) < 1e-9
             assert r["peak"] == int(np.max(np.abs(x)))
             assert r["decode_ok"]
+
+    def test_bounded_rolling_state(self, spark, tmp_path):
+        """The recent-values buffer must stay bounded at 6 and the
+        rolling mean must reflect only the last 6 events."""
+        import datetime as dt
+        import os
+
+        from rad_ecg_spark.streaming.stateful import staleness_monitor
+
+        d = tmp_path / "roll_in"
+        d.mkdir()
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, t0 + dt.timedelta(seconds=i), 1, "c", float(i + 1), "")
+            for i in range(10)  # cents: 100..1000
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        p = str(d / "b0")
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+            )
+            .parquet(str(d) + "/*")
+        )
+        out = staleness_monitor(stream)
+        q = out.writeStream.outputMode("append").format("memory").queryName("roll_test").start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        r = spark.sql("SELECT * FROM roll_test WHERE status='active'").collect()[0]
+        assert r["n_events"] == 10
+        assert r["recent_n"] == 6
+        # last six cents: 500..1000 -> mean 750
+        assert r["recent_mean_c"] == 750
