@@ -161,3 +161,168 @@ SELECT d.user_id, CAST(i AS INT) AS discord_idx, CAST(nn AS INT) AS nn_idx,
        CAST(floor(mpv * 1e6 + 0.5) AS BIGINT) AS mp_e6, c.n_windows
 FROM discord d JOIN cnt c USING (user_id)
 WHERE rk = 1"""
+
+
+FLUSS_SCHEMA = "user_id long, boundary_idx int, cac_e6 long, n_arcs int"
+
+
+def fluss_regime(
+    events: DataFrame,
+    w: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """FLUSS-style regime boundary per user (Gharghabi et al., ICDM'17 —
+    public): every window draws an arc to its 1-NN; positions crossed by
+    few arcs are semantic regime boundaries. The corrected arc curve
+    CAC(p) = min(crossings(p) / ideal(p), 1) with the random-arc
+    parabola ideal(p) = 2 p (nw - p) / nw; the boundary is the argmin
+    over p in [w+1, nw-1-w] (edge exclusion), ties to the smallest p.
+
+    Same grouped-map kernel + exact-arithmetic contract as
+    matrix_profile_discord: arc endpoints and crossing counts are exact
+    integers; the CAC formula is mirrored verbatim in the oracle.
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "boundary_idx": pd.Series([], dtype="int32"),
+                "cac_e6": pd.Series([], dtype="int64"),
+                "n_arcs": pd.Series([], dtype="int32"),
+            }
+        )
+        pdf = pdf.sort_values(["ts_ms", "oid"], kind="mergesort")
+        x = pdf["cents"].to_numpy(dtype=np.int64)
+        n = len(x)
+        nw = n - w + 1
+        if nw < 2:
+            return empty
+        win = np.lib.stride_tricks.sliding_window_view(x, w)
+        s1 = win.sum(axis=1, dtype=np.int64)
+        s2 = (win * win).sum(axis=1, dtype=np.int64)
+        wf = float(w)
+        mu = s1 / wf
+        var = (s2 - (s1 / wf) * s1) / wf
+        keep = var > 0
+        idx = np.nonzero(keep)[0]
+        if len(idx) < 2:
+            return empty
+        sig = np.sqrt(var[idx])
+        z = (win[idx].astype(np.float64) - mu[idx][:, None]) / sig[:, None]
+        m = len(idx)
+        acc = np.zeros((m, m))
+        for k in range(w):
+            d = z[:, k][:, None] - z[None, :, k]
+            acc += d * d
+        excl = np.abs(idx[:, None] - idx[None, :]) < w
+        acc[excl] = np.inf
+        has_nn = ~np.isinf(acc).all(axis=1)
+        if not has_nn.any():
+            return empty
+        nn_pos = np.argmin(acc, axis=1)
+        # arcs in ORIGINAL 1-based window coordinates, only rows with a nn
+        i1 = idx[has_nn] + 1
+        j1 = idx[nn_pos[has_nn]] + 1
+        a = np.minimum(i1, j1)
+        b = np.maximum(i1, j1)
+        diff = np.zeros(nw + 2, dtype=np.int64)
+        np.add.at(diff, a, 1)
+        np.add.at(diff, b, -1)
+        crossings = np.cumsum(diff)  # crossings[p] = arcs covering [p, p+1)
+        lo, hi = w + 1, nw - 1 - w
+        if lo > hi:
+            return empty
+        p = np.arange(lo, hi + 1)
+        ideal = 2.0 * p * (nw - p) / nw
+        cac = np.minimum(crossings[p] / ideal, 1.0)
+        best = int(np.argmin(cac))  # first min = smallest p
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["uid"].iloc[0])],
+                "boundary_idx": np.array([p[best]], dtype=np.int32),
+                "cac_e6": np.array(
+                    [int(np.floor(cac[best] * 1e6 + 0.5))], dtype=np.int64
+                ),
+                "n_arcs": np.array([len(a)], dtype=np.int32),
+            }
+        )
+
+    prepared = events.select(
+        F.col(user_col).alias("uid"),
+        F.unix_millis(F.col(ts_col).cast("timestamp")).alias("ts_ms"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+        F.col(order_col).alias("oid"),
+    )
+    return prepared.groupBy("uid").applyInPandas(kernel, schema=FLUSS_SCHEMA)
+
+
+def fluss_oracle_sql(w: int = 8) -> str:
+    """DuckDB twin of fluss_regime, built on the same zwin/pair/mp CTEs
+    as the matrix-profile oracle."""
+    terms = " + ".join(
+        f"((a.arr[{k}] - a.mu) / a.sig - (b.arr[{k}] - b.mu) / b.sig) * "
+        f"((a.arr[{k}] - a.mu) / a.sig - (b.arr[{k}] - b.mu) / b.sig)"
+        for k in range(1, w + 1)
+    )
+    return f"""
+WITH o AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), win AS (
+  SELECT user_id, rn AS i,
+         list(cents) OVER (PARTITION BY user_id ORDER BY rn
+                           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS arr,
+         CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY rn
+                           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS BIGINT) AS s1,
+         CAST(sum(cents*cents) OVER (PARTITION BY user_id ORDER BY rn
+                           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS BIGINT) AS s2,
+         n
+  FROM o
+), stats AS (
+  SELECT user_id, CAST(i AS BIGINT) AS i, arr, CAST(n - {w} + 1 AS BIGINT) AS nw,
+         s1 / {w}.0 AS mu,
+         sqrt((s2 - (s1 / {w}.0) * s1) / {w}.0) AS sig,
+         (s2 - (s1 / {w}.0) * s1) / {w}.0 AS var
+  FROM win WHERE i <= n - {w} + 1
+), zwin AS (
+  SELECT * FROM stats WHERE var > 0
+), pair AS (
+  SELECT a.user_id, a.i AS i, b.i AS j, a.nw AS nw, ({terms}) AS d2
+  FROM zwin a JOIN zwin b
+    ON a.user_id = b.user_id AND abs(a.i - b.i) >= {w}
+), mp AS (
+  SELECT user_id, i, j AS nn, nw FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, i ORDER BY d2, j) AS rk
+    FROM pair
+  ) WHERE rk = 1
+), arcs AS (
+  SELECT user_id, least(i, nn) AS a, greatest(i, nn) AS b, nw FROM mp
+), pos AS (
+  SELECT DISTINCT user_id, nw, unnest(range({w} + 1, nw - {w})) AS p FROM arcs
+), cross_cnt AS (
+  SELECT pos.user_id, pos.p, pos.nw,
+         CAST(count(arcs.a) AS BIGINT) AS crossings
+  FROM pos LEFT JOIN arcs
+    ON arcs.user_id = pos.user_id AND arcs.a <= pos.p AND pos.p < arcs.b
+  GROUP BY pos.user_id, pos.p, pos.nw
+), cac AS (
+  SELECT user_id, p,
+         least(crossings / (2.0 * p * (nw - p) / nw), 1.0) AS cac,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY least(crossings / (2.0 * p * (nw - p) / nw), 1.0) ASC, p ASC
+         ) AS rk
+  FROM cross_cnt
+), n_arcs AS (
+  SELECT user_id, CAST(count(*) AS INT) AS n_arcs FROM arcs GROUP BY user_id
+)
+SELECT c.user_id, CAST(p AS INT) AS boundary_idx,
+       CAST(floor(cac * 1e6 + 0.5) AS BIGINT) AS cac_e6, a.n_arcs
+FROM cac c JOIN n_arcs a USING (user_id)
+WHERE rk = 1"""

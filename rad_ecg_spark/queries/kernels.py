@@ -42,14 +42,31 @@ def _mp_oracle():
     return matrix_profile_oracle_sql(w=8)
 
 
+# --- FLUSS regime segmentation per user ---------------------------------
+# ref: FLUSS segmentation, porcine/stumpy_fluss_phase_angle.py
+
+def q_fluss(spark, sf_dir):
+    from rad_ecg_spark.operators.matrixprofile import fluss_regime
+
+    return fluss_regime(_t(spark, sf_dir, "events"), w=8)
+
+
+def _fluss_oracle():
+    from rad_ecg_spark.operators.matrixprofile import fluss_oracle_sql
+
+    return fluss_oracle_sql(w=8)
+
+
 KERNEL_QUERIES = {
     "episodes_udtf": q_episodes,
     "stat_bundle": q_stat_bundle,
     "matrix_profile_discord": q_matrix_profile,
+    "fluss_regime": q_fluss,
 }
 
 KERNEL_ORACLES = {
     "episodes_udtf": episodes_oracle_sql(threshold=250.0),
     "stat_bundle": bundle_oracle_sql(),
     "matrix_profile_discord": _mp_oracle(),
+    "fluss_regime": _fluss_oracle(),
 }

@@ -299,3 +299,19 @@ class TestUpsertSink:
             q.stop()
         got = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
         assert got == {1: 1.0, 2: 22.0, 3: 3.0}
+
+
+class TestPartitionedSink:
+    def test_dynamic_overwrite_replaces_only_written_partitions(self, spark, tmp_path):
+        from rad_ecg_spark.sources.sinks import write_partitioned_table
+
+        tbl = str(tmp_path / "tbl")
+        base = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 10)], "part string, v long"
+        )
+        write_partitioned_table(base, tbl, ["part"])
+        # backfill ONLY partition 'a'; 'b' must survive
+        fix = spark.createDataFrame([("a", 99)], "part string, v long")
+        write_partitioned_table(fix, tbl, ["part"])
+        got = {(r["part"], r["v"]) for r in spark.read.parquet(tbl).collect()}
+        assert got == {("a", 99), ("b", 10)}
