@@ -27,9 +27,17 @@ from pyspark.storagelevel import StorageLevel
 from rad_ecg_spark.operators.graph_core import normalize_edges, symmetrize, vertices_of
 
 
-def _oriented(edges: DataFrame) -> DataFrame:
-    """Undirected edges oriented low→high by (degree, id)."""
-    sym = symmetrize(normalize_edges(edges))
+def _oriented(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(oriented_edges, persisted_sym): undirected edges oriented
+    low→high by (degree, id).
+
+    ``sym`` feeds THREE consumers (degree table + both canon branches);
+    persisting it makes the upstream edge derivation (often a distinct
+    over a source table) run once instead of once per consumer. The
+    caller unpersists the returned ``sym`` after materializing the
+    orientation.
+    """
+    sym = symmetrize(normalize_edges(edges)).persist(StorageLevel.MEMORY_AND_DISK)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     canon = sym.filter(F.col("src") < F.col("dst"))
     e = (
@@ -48,14 +56,17 @@ def _oriented(edges: DataFrame) -> DataFrame:
         )
         .select(F.col("e.a").alias("src"), F.col("e.b").alias("dst"))
     )
-    return e
+    return e, sym
 
 
 def triangles(edges: DataFrame) -> DataFrame:
     """Per-vertex triangle counts: DataFrame(id, tri_count) covering ALL
     vertices (0 for triangle-free ones)."""
     verts = vertices_of(normalize_edges(edges))
-    o = _oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    o, sym = _oriented(edges)
+    o = o.persist(StorageLevel.MEMORY_AND_DISK)
+    o.count()  # materialize through sym's cache, then release it
+    sym.unpersist()
     e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = o.select(F.col("src").alias("v2"), F.col("dst").alias("w"))
     wedges = e1.join(e2, e1.v == e2.v2).select("u", "v", "w")
@@ -77,7 +88,10 @@ def triangles(edges: DataFrame) -> DataFrame:
 
 def triangle_count(edges: DataFrame) -> int:
     """Global triangle count (each triangle once)."""
-    o = _oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    o, sym = _oriented(edges)
+    o = o.persist(StorageLevel.MEMORY_AND_DISK)
+    o.count()  # materialize through sym's cache, then release it
+    sym.unpersist()
     e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = o.select(F.col("src").alias("v2"), F.col("dst").alias("w"))
     wedges = e1.join(e2, e1.v == e2.v2).select("u", "w")
