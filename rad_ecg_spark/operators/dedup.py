@@ -149,28 +149,7 @@ def jaccard_pairs(
         .persist()
     )
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
-    # per-doc token position in the GLOBAL (dfreq asc, token asc) order
-    pos_w = Window.partitionBy(id_col).orderBy("dfreq", "w")
-    ranked = (
-        tok.join(dfreq, "w")
-        .join(sizes, id_col)
-        .withColumn("pos", F.row_number().over(pos_w))
-    )
-    # prefix length = sz - ceil(t*sz) + 1  (integer ceil via DIV)
-    prefix = ranked.filter(
-        F.col("pos")
-        <= F.col("sz")
-        - F.expr(f"({threshold_num} * sz + {threshold_den} - 1) DIV {threshold_den}")
-        + 1
-    ).select(id_col, "w")
-    cand = (
-        prefix.select(F.col(id_col).alias("a"), "w")
-        .join(prefix.select(F.col(id_col).alias("b"), "w"), "w")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    cand = jaccard_candidates(tok, sizes, id_col, threshold_num, threshold_den)
     # verify: true intersection over candidate pairs only
     inter = (
         cand.join(tok.select(F.col(id_col).alias("a"), "w"), "a")
@@ -188,6 +167,42 @@ def jaccard_pairs(
         .select("a", "b", "inter", "uni")
     )
     return out
+
+
+def jaccard_candidates(
+    tok: DataFrame,
+    sizes: DataFrame,
+    id_col: str = "doc_id",
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """Lossless prefix-filter candidate pairs (a < b) for Jaccard >=
+    num/den over a distinct (id, w) token table. Exposed separately so
+    the fan-out bound is testable: the join key is each doc's RARE-token
+    prefix, so a universally shared token generates no candidates unless
+    the threshold's prefix window reaches it."""
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
+    # per-doc token position in the GLOBAL (dfreq asc, token asc) order
+    pos_w = Window.partitionBy(id_col).orderBy("dfreq", "w")
+    ranked = (
+        tok.join(dfreq, "w")
+        .join(sizes, id_col)
+        .withColumn("pos", F.row_number().over(pos_w))
+    )
+    # prefix length = sz - ceil(t*sz) + 1  (integer ceil via DIV)
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("sz")
+        - F.expr(f"({threshold_num} * sz + {threshold_den} - 1) DIV {threshold_den}")
+        + 1
+    ).select(id_col, "w")
+    return (
+        prefix.select(F.col(id_col).alias("a"), "w")
+        .join(prefix.select(F.col(id_col).alias("b"), "w"), "w")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
 
 
 _SIMHASH_BITS = 60  # md5-hex-prefix hash (the portable-hash policy) = 60 bits
