@@ -28,6 +28,14 @@ def main() -> None:
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--max-iter", type=int, default=100)
     ap.add_argument("--partitions", type=int)
+    ap.add_argument(
+        "--hub-degree-threshold", type=int,
+        help="supernode split: srcs with outdeg >= N take the broadcast path",
+    )
+    ap.add_argument(
+        "--partwise", action="store_true",
+        help="per-partition idempotent snapshots (mid-iteration resume)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -50,11 +58,14 @@ def main() -> None:
     else:
         raise SystemExit("one of --edges / --pages is required")
 
-    ck = (
-        CheckpointManager(spark, args.checkpoint_dir, "pagerank")
-        if args.checkpoint_dir
-        else None
-    )
+    if args.checkpoint_dir and args.partwise:
+        from rad_ecg_spark.plans.partwise import PartwiseCheckpointManager
+
+        ck = PartwiseCheckpointManager(spark, args.checkpoint_dir, "pagerank")
+    elif args.checkpoint_dir:
+        ck = CheckpointManager(spark, args.checkpoint_dir, "pagerank")
+    else:
+        ck = None
     stats = PageRankStats()
     ranks = pagerank(
         edges,
@@ -65,6 +76,7 @@ def main() -> None:
         checkpointer=ck,
         resume=args.resume,
         stats=stats,
+        hub_degree_threshold=args.hub_degree_threshold,
     )
     ranks.write.mode("overwrite").parquet(args.out)
     print(
