@@ -36,13 +36,20 @@ def read_events_stream(spark, path: str, max_files_per_trigger: int = 1) -> Data
     )
 
 
-def windowed_counts(stream: DataFrame, window: str = "6 hours", watermark: str = "1 hour") -> DataFrame:
-    """Watermarked tumbling-window count+sum per event_type — the
-    streaming twin of queries.relational.q_tumbling_window (same numbers
-    when the batch table is replayed through the stream)."""
+def windowed_counts(
+    stream: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+    slide: str | None = None,
+) -> DataFrame:
+    """Watermarked windowed count+sum per event_type — tumbling by
+    default, OVERLAPPING (sliding) when ``slide`` is given; the
+    streaming twins of q_tumbling_window / q_sliding_window (same
+    numbers when the batch table is replayed through the stream)."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),

@@ -315,3 +315,61 @@ class TestPartitionedSink:
         write_partitioned_table(fix, tbl, ["part"])
         got = {(r["part"], r["v"]) for r in spark.read.parquet(tbl).collect()}
         assert got == {("a", 99), ("b", 10)}
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_defaults_and_derivations(self, spark, tmp_path):
+        from rad_ecg_spark.sources.evolution import read_evolved
+
+        tbl = str(tmp_path / "gen")
+        # generation 1: no 'score', no 'grade'
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double") \
+            .write.parquet(tbl + "/g1")
+        # generation 2: adds 'score'
+        spark.createDataFrame([(3, 30.0, 0.5)], "id long, v double, score double") \
+            .write.parquet(tbl + "/g2")
+        df = read_evolved(
+            spark,
+            tbl + "/*",
+            defaults={"score": -1.0},
+            derivations={"score2x": lambda d: F.col("score") * 2},
+        )
+        got = {r["id"]: (r["score"], r["score2x"]) for r in df.collect()}
+        assert got == {1: (-1.0, -2.0), 2: (-1.0, -2.0), 3: (0.5, 1.0)}
+        assert set(df.columns) == {"id", "v", "score", "score2x"}
+
+
+class TestStreamingSlidingWindow:
+    def test_streaming_sliding_matches_batch(self, spark, tmp_path):
+        import os
+
+        from rad_ecg_spark.streaming.events import (
+            read_events_stream,
+            run_to_memory,
+            windowed_counts,
+        )
+
+        d = tmp_path / "ev_stream"
+        d.mkdir()
+        (d / "events.parquet").symlink_to("/root/testdata/sf0.001/events.parquet")
+        stream = read_events_stream(spark, str(d))
+        got = {
+            (r["wstart_s"], r["event_type"]): (r["n"], r["sum_value_c"])
+            for r in run_to_memory(
+                windowed_counts(stream, slide="90 minutes"), "sw_test"
+            ).collect()
+        }
+        batch = (
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+            .groupBy(
+                F.window(F.col("ts").cast("timestamp"), "6 hours", "90 minutes").alias("w"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+            )
+            .select(F.unix_timestamp("w.start").alias("ws"), "event_type", "n", "s")
+        )
+        exp = {(r["ws"], r["event_type"]): (r["n"], r["s"]) for r in batch.collect()}
+        assert got == exp
