@@ -14,8 +14,13 @@ component-minimum vertex. Converges in O(log n) rounds — better than
 hash-min's O(diameter) on high-diameter graphs, and every round is only
 groupBy(min) + join, i.e. one shuffle each.
 
-A simpler ``hashmin`` method is kept for cross-checking (exact same
-output, O(diameter) rounds).
+A simpler ``hashmin`` method is kept both for cross-checking (exact
+same output) and as the measured fast path on LOW-diameter graphs:
+O(diameter) rounds, each one join+min-agg — at 10M edges / 1M vertices
+(diameter ~7) hashmin converges in 112 s vs star's 216 s on local[32].
+Star remains the default because its O(log n) round bound is the
+worst-case-safe choice at 10^12 scale, where a single long-chain
+component would make hashmin take O(chain length) rounds.
 
 Convergence detection without materializing edge-set diffs: the pair
 (edge_count, sum(xxhash64(src,dst))) is a fingerprint; two identical
