@@ -370,6 +370,22 @@ SELECT qid, CAST(rk AS INT) AS rk, vid,
 FROM ranked WHERE rk <= {TOPK_K}"""
 
 
+# --- IVF ANN (spark.ml KMeans coarse quantizer) ---------------------------
+# registered WITHOUT an oracle: the k-means fit is not SQL-expressible,
+# so the driver records the weaker rows-only check; the operator's
+# quality gate is the recall pytest (tests/test_dedup_similarity.py).
+
+def q_ivf_ann_topk(spark, sf_dir):
+    from rad_ecg_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    r = ivf_topk(e, q, k=TOPK_K, n_cells=8, nprobe=2)
+    return r.select(
+        "qid", "rk", "vid", F.round(F.col("cos") * 1e6).cast("long").alias("cos_e6")
+    )
+
+
 TEXT_QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup_summary": q_exact_dedup_summary,
@@ -380,6 +396,7 @@ TEXT_QUERIES = {
     "cosine_topk": q_cosine_topk,
     "simhash_pairs": q_simhash_pairs,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,  # rows-only: no oracle (kmeans fit)
 }
 
 TEXT_ORACLES = {
