@@ -33,7 +33,8 @@ def test_query_matches_oracle(spark, duck, name):
 def test_every_query_has_oracle_or_is_flagged():
     missing = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops may omit the oracle; keep the list explicit
-    assert missing <= set(), f"unexpected oracle-less queries: {missing}"
+    allowed_rows_only = {"ivf_ann_topk"}  # spark.ml kmeans fit isn't SQL
+    assert missing <= allowed_rows_only, f"unexpected oracle-less queries: {missing}"
 
 
 def test_entry_smoke(spark):
