@@ -105,14 +105,31 @@ def wav_encode(samples: np.ndarray, rate: int) -> bytes:
 
 
 def wav_decode(b: bytes) -> tuple[int, np.ndarray]:
-    """16-bit PCM WAV bytes -> (sample_rate, int16 samples)."""
+    """16-bit PCM WAV bytes -> (sample_rate, int16 samples).
+
+    Walks the RIFF chunk list rather than assuming a canonical 44-byte
+    header, so files with extended fmt / LIST / other chunks decode
+    correctly instead of silently yielding garbage samples."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
-    fmt, ch, rate, bits = struct.unpack_from("<HHIxxxxxxH", b, 20)
+    fmt_chunk = data_chunk = None
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        if cid == b"fmt ":
+            fmt_chunk = pos + 8
+        elif cid == b"data":
+            data_chunk = (pos + 8, size)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_chunk is None or data_chunk is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    fmt, ch, rate, bits = struct.unpack_from("<HHIxxxxxxH", b, fmt_chunk)
     if fmt != 1 or ch != 1 or bits != 16:
         raise ValueError(f"unsupported WAV variant (fmt={fmt}, ch={ch}, bits={bits})")
-    n = struct.unpack_from("<I", b, 40)[0]
-    return rate, np.frombuffer(b, dtype="<i2", count=n // 2, offset=44)
+    off, n = data_chunk
+    n = min(n, len(b) - off)
+    return rate, np.frombuffer(b, dtype="<i2", count=n // 2, offset=off)
 
 
 # --- deterministic synthetic corpus --------------------------------------

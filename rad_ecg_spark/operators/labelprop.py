@@ -128,7 +128,12 @@ def label_propagation(
             # truncate lineage every iteration (see operators/pagerank.py)
             .localCheckpoint(eager=True)
         )
-        changed = int(new_labels.agg(F.sum("changed")).collect()[0][0])
+        # coalesce: sum over zero rows is NULL (empty vertex set)
+        changed = int(
+            new_labels.agg(
+                F.coalesce(F.sum("changed"), F.lit(0))
+            ).collect()[0][0]
+        )
         free_local_checkpoint(labels)
         labels = new_labels
         stats.iterations = it + 1

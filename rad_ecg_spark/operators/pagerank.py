@@ -101,8 +101,10 @@ def pagerank(
     stay in balanced natural partitioning and join a BROADCAST slice of
     the rank state, while residual edges keep the co-partitioned
     shuffle-hash path with per-key row counts bounded by the threshold.
-    Results are bit-identical to the unsplit plan (same contributions,
-    same aggregation).
+    Results are numerically identical to the unsplit plan within
+    float-summation reordering (contributions flow through a different
+    union/partial-aggregation tree, so sums agree to ~1e-12, not
+    bitwise — see tests/test_kernels_and_io.py star-graph check).
     """
     import time as _time
 

@@ -38,9 +38,22 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join big⋈small on ``key`` with the hot-key fan-out spread
-    over ``n_salts`` subtasks. Output columns = big ∪ small (minus the
-    duplicate key), exactly like ``big.join(small, key, how)``."""
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    over ``n_salts`` subtasks. Output rows equal ``big.join(small, key,
+    how)`` for how in {inner, left} ONLY (the small side is replicated
+    n_salts times, so right/full-outer would emit unmatched small rows
+    n_salts times — asserted away).
+
+    The salt is per-ROW (hash of a physical row id), not per-value: a
+    hot key whose rows are full duplicates still spreads over all
+    n_salts subtasks. The row id is nondeterministic across task
+    retries, but the salt only routes rows to subtasks — join output
+    is salt-invariant, so the result is deterministic.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left only, got {how!r}")
+    salt = F.pmod(
+        F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)
+    )
     big_s = big.withColumn("_salt", salt)
     salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("_salt")
     small_s = small.select("*", salts)

@@ -5,9 +5,11 @@ arrays by key (/root/reference/src/rad_ecg/scripts/peak_detect_v4.py:
 1710-1731 — overlap dedup + rollback-and-rewrite). Spark-first shape:
 
 - ``merge_upsert``: MERGE INTO target USING updates ON key — the
-  keep-one rule is "updates beat existing, later event-time beats
-  earlier, then a deterministic id tie-break", computed with one
-  skew-safe ``max_by`` aggregation (no window sort). The write is
+  keep-one rule is "latest event-time wins; updates beat existing
+  only on event-time ties, then a deterministic id tie-break" (replay
+  idempotency: re-delivering an OLDER update never clobbers a newer
+  stored row), computed with one skew-safe ``max_by`` aggregation
+  (no window sort). The write is
   new-directory + atomic directory swap, so readers never see a torn
   table. On a catalog-backed cluster this function IS
   ``MERGE INTO``/Iceberg row-level ops; the semantics here are
