@@ -7,17 +7,26 @@ z-normalized distance to its nearest non-trivial neighbor; the window
 whose nearest neighbor is FARTHEST is the discord (anomaly).
 
 Spark-first shape: series are grouped by key (user), each group's
-kernel is vectorized numpy inside ``applyInPandas`` — an (nw x nw)
-pairwise z-distance computed as a LEFT-FOLD over the w lag terms so the
+kernel is vectorized numpy inside ``applyInPandas`` — the pairwise
+z-distance is computed as a LEFT-FOLD over the w lag terms so the
 DuckDB oracle (explicit 8-term sum chain) reproduces every double
 bit-for-bit. Window means/variances come from exact integer (cents)
 sums. Exclusion zone |i-j| < w, zero-variance windows dropped on both
 sides (identically in the oracle).
 
+Memory: the distance matrix is never materialized whole. ``_blocked_nn``
+streams row-blocks of the (m x m) matrix through two REUSED fixed-size
+buffers (default cap ~64 MB total regardless of m), keeping a running
+per-row nearest neighbor — a 100k-window group peaks at the buffer cap,
+not at the 80 GB an (m x m) float64 allocation would need. Each pair's
+d2 is still the identical k-ordered scalar chain, so blocking changes
+no double (tests/test_kernels_and_io.py asserts hash-stability and the
+memory bound).
+
 At 100 TB: groups are bounded per-key series (the reference's
 per-section contract); for one giant series the same kernel runs per
-chunk-with-halo via mapInPandas — the banding is the partition layout,
-not the algorithm.
+chunk-with-halo — operators/halo.py is the partition layout, this
+module is the algorithm.
 """
 
 from __future__ import annotations
@@ -30,6 +39,132 @@ from pyspark.sql import functions as F
 MP_SCHEMA = (
     "user_id long, discord_idx int, nn_idx int, mp_e6 long, n_windows int"
 )
+
+# ~64 MB of float64 across the two reused (block x m) buffers
+_MAX_BLOCK_ELEMS = 4_000_000
+
+
+def znorm_windows(x: np.ndarray, w: int):
+    """(idx, z): positions (0-based) and z-normalized rows of all
+    positive-variance length-w windows of int series x. Means/variances
+    from exact integer sums — the same doubles as the SQL oracle."""
+    n = len(x)
+    nw = n - w + 1
+    if nw < 2:
+        return None
+    win = np.lib.stride_tricks.sliding_window_view(x, w)  # (nw, w) ints
+    s1 = win.sum(axis=1, dtype=np.int64)
+    s2 = (win * win).sum(axis=1, dtype=np.int64)
+    wf = float(w)
+    mu = s1 / wf
+    var = (s2 - (s1 / wf) * s1) / wf  # mirrored verbatim in the oracle
+    idx = np.nonzero(var > 0)[0]
+    if len(idx) < 2:
+        return None
+    sig = np.sqrt(var[idx])
+    z = (win[idx].astype(np.float64) - mu[idx][:, None]) / sig[:, None]
+    return idx, z
+
+
+def _blocked_nn(idx: np.ndarray, z: np.ndarray, w: int,
+                max_block_elems: int | None = None,
+                threads: int = 1):
+    """Per-window nearest non-trivial neighbor (nn_pos, d2, has_nn),
+    streaming row-blocks of the pairwise matrix through reused buffers.
+
+    Exactness contract: each pair's d2 is the left-assoc k-ordered
+    chain ((0 + d_1^2) + d_2^2) + ... — blocking over rows i never
+    touches a pair's own accumulation chain, so every double is
+    bit-identical to the full-matrix computation (and to the SQL
+    oracle's explicit sum chain). Ties: first (smallest-j) argmin.
+
+    ``threads`` > 1 fans independent blocks over a thread pool (numpy
+    releases the GIL on the large elementwise ops). Default 1: inside a
+    Spark task the scheduler already owns the core; multi-thread only
+    when driving the kernel directly (tests, single-series tooling).
+    Each thread owns its buffers, so peak memory is threads * 2 *
+    (block x m) doubles — max_block_elems caps the per-thread block.
+    """
+    if max_block_elems is None:
+        max_block_elems = _MAX_BLOCK_ELEMS  # read at call time (testable)
+    m = len(idx)
+    block = max(1, min(m, max_block_elems // m))
+    zT = np.ascontiguousarray(z.T)  # (w, m): contiguous per-lag rows
+    nn_pos = np.empty(m, dtype=np.int64)
+    mp = np.empty(m, dtype=np.float64)
+    has_nn = np.empty(m, dtype=bool)
+
+    def run_range(lo0: int, hi0: int) -> None:
+        acc = np.empty((min(block, hi0 - lo0), m))
+        d = np.empty_like(acc)
+        for lo in range(lo0, hi0, block):
+            hi = min(lo + block, hi0)
+            a, dd = acc[: hi - lo], d[: hi - lo]
+            a.fill(0.0)
+            for k in range(w):
+                np.subtract(zT[k, lo:hi, None], zT[k, None, :], out=dd)
+                np.multiply(dd, dd, out=dd)
+                np.add(a, dd, out=a)
+            a[np.abs(idx[lo:hi, None] - idx[None, :]) < w] = np.inf
+            has_nn[lo:hi] = ~np.isinf(a).all(axis=1)
+            nn = np.argmin(a, axis=1)  # first min = smallest j
+            nn_pos[lo:hi] = nn
+            mp[lo:hi] = a[np.arange(hi - lo), nn]
+
+    if threads <= 1 or m <= block:
+        run_range(0, m)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        # contiguous row ranges, one per thread (disjoint output slices)
+        bounds = np.linspace(0, m, threads + 1).astype(int)
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            futs = [
+                ex.submit(run_range, int(a), int(b))
+                for a, b in zip(bounds[:-1], bounds[1:])
+                if b > a
+            ]
+            for f in futs:
+                f.result()
+    return nn_pos, mp, has_nn
+
+
+def mp_discord_kernel(pdf: pd.DataFrame, w: int, threads: int = 1) -> pd.DataFrame:
+    """Per-group discord kernel (module-level so tests and the halo
+    layout can drive it directly). Expects columns uid, ts_ms, cents,
+    oid; returns one MP_SCHEMA row (or none)."""
+    empty = pd.DataFrame(
+        {
+            "user_id": pd.Series([], dtype="int64"),
+            "discord_idx": pd.Series([], dtype="int32"),
+            "nn_idx": pd.Series([], dtype="int32"),
+            "mp_e6": pd.Series([], dtype="int64"),
+            "n_windows": pd.Series([], dtype="int32"),
+        }
+    )
+    pdf = pdf.sort_values(["ts_ms", "oid"], kind="mergesort")
+    x = pdf["cents"].to_numpy(dtype=np.int64)
+    zw = znorm_windows(x, w)
+    if zw is None:
+        return empty
+    idx, z = zw
+    m = len(idx)
+    nn_pos, mp, has_nn = _blocked_nn(idx, z, w, threads=threads)
+    if not has_nn.any():
+        return empty
+    mp[~has_nn] = -np.inf
+    best = int(np.argmax(mp))  # first max = smallest i
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["uid"].iloc[0])],
+            "discord_idx": np.array([idx[best] + 1], dtype=np.int32),
+            "nn_idx": np.array([idx[nn_pos[best]] + 1], dtype=np.int32),
+            "mp_e6": np.array(
+                [int(np.floor(mp[best] * 1e6 + 0.5))], dtype=np.int64
+            ),
+            "n_windows": np.array([m], dtype=np.int32),
+        }
+    )
 
 
 def matrix_profile_discord(
@@ -45,60 +180,7 @@ def matrix_profile_discord(
     cents series in (ts, order) order."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "user_id": pd.Series([], dtype="int64"),
-                "discord_idx": pd.Series([], dtype="int32"),
-                "nn_idx": pd.Series([], dtype="int32"),
-                "mp_e6": pd.Series([], dtype="int64"),
-                "n_windows": pd.Series([], dtype="int32"),
-            }
-        )
-        pdf = pdf.sort_values(["ts_ms", "oid"], kind="mergesort")
-        x = pdf["cents"].to_numpy(dtype=np.int64)
-        n = len(x)
-        nw = n - w + 1
-        if nw < 2:
-            return empty
-        win = np.lib.stride_tricks.sliding_window_view(x, w)  # (nw, w) ints
-        s1 = win.sum(axis=1, dtype=np.int64)
-        s2 = (win * win).sum(axis=1, dtype=np.int64)
-        wf = float(w)
-        mu = s1 / wf
-        var = (s2 - (s1 / wf) * s1) / wf  # mirrored verbatim in the oracle
-        keep = var > 0
-        idx = np.nonzero(keep)[0]
-        if len(idx) < 2:
-            return empty
-        sig = np.sqrt(var[idx])
-        z = (win[idx].astype(np.float64) - mu[idx][:, None]) / sig[:, None]
-        # pairwise dist^2 as a LEFT FOLD over the w lag terms (never
-        # np.sum's pairwise tree): identical op order to the SQL chain
-        m = len(idx)
-        acc = np.zeros((m, m))
-        for k in range(w):
-            d = z[:, k][:, None] - z[None, :, k]
-            acc += d * d
-        excl = np.abs(idx[:, None] - idx[None, :]) < w
-        acc[excl] = np.inf
-        valid_i = ~np.isinf(acc).all(axis=1)
-        if not valid_i.any():
-            return empty
-        nn_pos = np.argmin(acc, axis=1)  # first min = smallest j
-        mp = acc[np.arange(m), nn_pos]
-        mp[~valid_i] = -np.inf
-        best = int(np.argmax(mp))  # first max = smallest i
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["uid"].iloc[0])],
-                "discord_idx": np.array([idx[best] + 1], dtype=np.int32),
-                "nn_idx": np.array([idx[nn_pos[best]] + 1], dtype=np.int32),
-                "mp_e6": np.array(
-                    [int(np.floor(mp[best] * 1e6 + 0.5))], dtype=np.int64
-                ),
-                "n_windows": np.array([m], dtype=np.int32),
-            }
-        )
+        return mp_discord_kernel(pdf, w)
 
     prepared = events.select(
         F.col(user_col).alias("uid"),
@@ -166,6 +248,56 @@ WHERE rk = 1"""
 FLUSS_SCHEMA = "user_id long, boundary_idx int, cac_e6 long, n_arcs int"
 
 
+def fluss_kernel(pdf: pd.DataFrame, w: int, threads: int = 1) -> pd.DataFrame:
+    """Per-group FLUSS kernel (module-level, same contract as
+    mp_discord_kernel). Nearest neighbors via the blocked O(buffer)
+    streaming pass — identical doubles to the full-matrix layout."""
+    empty = pd.DataFrame(
+        {
+            "user_id": pd.Series([], dtype="int64"),
+            "boundary_idx": pd.Series([], dtype="int32"),
+            "cac_e6": pd.Series([], dtype="int64"),
+            "n_arcs": pd.Series([], dtype="int32"),
+        }
+    )
+    pdf = pdf.sort_values(["ts_ms", "oid"], kind="mergesort")
+    x = pdf["cents"].to_numpy(dtype=np.int64)
+    nw = len(x) - w + 1
+    zw = znorm_windows(x, w)
+    if zw is None:
+        return empty
+    idx, z = zw
+    nn_pos, _, has_nn = _blocked_nn(idx, z, w, threads=threads)
+    if not has_nn.any():
+        return empty
+    # arcs in ORIGINAL 1-based window coordinates, only rows with a nn
+    i1 = idx[has_nn] + 1
+    j1 = idx[nn_pos[has_nn]] + 1
+    a = np.minimum(i1, j1)
+    b = np.maximum(i1, j1)
+    diff = np.zeros(nw + 2, dtype=np.int64)
+    np.add.at(diff, a, 1)
+    np.add.at(diff, b, -1)
+    crossings = np.cumsum(diff)  # crossings[p] = arcs covering [p, p+1)
+    lo, hi = w + 1, nw - 1 - w
+    if lo > hi:
+        return empty
+    p = np.arange(lo, hi + 1)
+    ideal = 2.0 * p * (nw - p) / nw
+    cac = np.minimum(crossings[p] / ideal, 1.0)
+    best = int(np.argmin(cac))  # first min = smallest p
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["uid"].iloc[0])],
+            "boundary_idx": np.array([p[best]], dtype=np.int32),
+            "cac_e6": np.array(
+                [int(np.floor(cac[best] * 1e6 + 0.5))], dtype=np.int64
+            ),
+            "n_arcs": np.array([len(a)], dtype=np.int32),
+        }
+    )
+
+
 def fluss_regime(
     events: DataFrame,
     w: int = 8,
@@ -187,69 +319,7 @@ def fluss_regime(
     """
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "user_id": pd.Series([], dtype="int64"),
-                "boundary_idx": pd.Series([], dtype="int32"),
-                "cac_e6": pd.Series([], dtype="int64"),
-                "n_arcs": pd.Series([], dtype="int32"),
-            }
-        )
-        pdf = pdf.sort_values(["ts_ms", "oid"], kind="mergesort")
-        x = pdf["cents"].to_numpy(dtype=np.int64)
-        n = len(x)
-        nw = n - w + 1
-        if nw < 2:
-            return empty
-        win = np.lib.stride_tricks.sliding_window_view(x, w)
-        s1 = win.sum(axis=1, dtype=np.int64)
-        s2 = (win * win).sum(axis=1, dtype=np.int64)
-        wf = float(w)
-        mu = s1 / wf
-        var = (s2 - (s1 / wf) * s1) / wf
-        keep = var > 0
-        idx = np.nonzero(keep)[0]
-        if len(idx) < 2:
-            return empty
-        sig = np.sqrt(var[idx])
-        z = (win[idx].astype(np.float64) - mu[idx][:, None]) / sig[:, None]
-        m = len(idx)
-        acc = np.zeros((m, m))
-        for k in range(w):
-            d = z[:, k][:, None] - z[None, :, k]
-            acc += d * d
-        excl = np.abs(idx[:, None] - idx[None, :]) < w
-        acc[excl] = np.inf
-        has_nn = ~np.isinf(acc).all(axis=1)
-        if not has_nn.any():
-            return empty
-        nn_pos = np.argmin(acc, axis=1)
-        # arcs in ORIGINAL 1-based window coordinates, only rows with a nn
-        i1 = idx[has_nn] + 1
-        j1 = idx[nn_pos[has_nn]] + 1
-        a = np.minimum(i1, j1)
-        b = np.maximum(i1, j1)
-        diff = np.zeros(nw + 2, dtype=np.int64)
-        np.add.at(diff, a, 1)
-        np.add.at(diff, b, -1)
-        crossings = np.cumsum(diff)  # crossings[p] = arcs covering [p, p+1)
-        lo, hi = w + 1, nw - 1 - w
-        if lo > hi:
-            return empty
-        p = np.arange(lo, hi + 1)
-        ideal = 2.0 * p * (nw - p) / nw
-        cac = np.minimum(crossings[p] / ideal, 1.0)
-        best = int(np.argmin(cac))  # first min = smallest p
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["uid"].iloc[0])],
-                "boundary_idx": np.array([p[best]], dtype=np.int32),
-                "cac_e6": np.array(
-                    [int(np.floor(cac[best] * 1e6 + 0.5))], dtype=np.int64
-                ),
-                "n_arcs": np.array([len(a)], dtype=np.int32),
-            }
-        )
+        return fluss_kernel(pdf, w)
 
     prepared = events.select(
         F.col(user_col).alias("uid"),

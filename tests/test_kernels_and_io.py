@@ -373,3 +373,59 @@ class TestStreamingSlidingWindow:
         )
         exp = {(r["ws"], r["event_type"]): (r["n"], r["s"]) for r in batch.collect()}
         assert got == exp
+
+
+class TestBlockedKernelMemory:
+    def test_50k_group_within_memory_cap(self):
+        """A 50k-row group streams through the blocked NN pass within a
+        fixed buffer cap (the old (m x m) layout would allocate ~20 GB
+        here). tracemalloc tracks numpy allocations; bound is the
+        documented threads * buffers footprint plus slack."""
+        import tracemalloc
+
+        import numpy as np
+        import pandas as pd
+
+        from rad_ecg_spark.operators import matrixprofile as mp
+
+        rng = np.random.default_rng(123)
+        n = 50_000
+        pdf = pd.DataFrame(
+            {
+                "uid": np.full(n, 7, dtype=np.int64),
+                "ts_ms": np.arange(n, dtype=np.int64) * 1000,
+                "cents": rng.integers(0, 50000, n).astype(np.int64),
+                "oid": np.arange(n, dtype=np.int64),
+            }
+        )
+        old_cap = mp._MAX_BLOCK_ELEMS
+        mp._MAX_BLOCK_ELEMS = 1_000_000  # 8 MB/buffer: tighter, faster bound
+        try:
+            tracemalloc.start()
+            out = mp.mp_discord_kernel(pdf, 8, threads=4)
+            _, peak = tracemalloc.get_traced_memory()
+        finally:
+            tracemalloc.stop()
+            mp._MAX_BLOCK_ELEMS = old_cap
+        assert len(out) == 1 and out["n_windows"].iloc[0] == 49_993
+        assert peak < 400e6, f"peak {peak/1e6:.0f} MB exceeds 400 MB cap"
+
+    def test_blocked_equals_full_matrix_bitwise(self):
+        """Row-blocking (any block size, any thread count) never changes
+        a double: each pair's d2 is its own k-ordered scalar chain."""
+        import numpy as np
+
+        from rad_ecg_spark.operators.matrixprofile import _blocked_nn, znorm_windows
+
+        rng = np.random.default_rng(5)
+        x = rng.integers(0, 9000, 3000).astype(np.int64)
+        idx, z = znorm_windows(x, 8)
+        base = _blocked_nn(idx, z, 8, max_block_elems=len(idx) * len(idx))
+        for kwargs in (
+            {"max_block_elems": 7 * len(idx)},
+            {"max_block_elems": 20000, "threads": 5},
+            {"max_block_elems": len(idx), "threads": 2},
+        ):
+            got = _blocked_nn(idx, z, 8, **kwargs)
+            for a, b in zip(base, got):
+                assert np.array_equal(a, b)
