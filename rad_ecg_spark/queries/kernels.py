@@ -57,11 +57,41 @@ def _fluss_oracle():
     return fluss_oracle_sql(w=8)
 
 
+# --- chunk-with-halo kernels over ONE giant ordered series ----------------
+# ref: single-signal rolling median utils.py:54-76; per-section MP over one
+# signal porcine/stumpy_discord.py:310-470
+
+def q_halo_rolling_median(spark, sf_dir):
+    from rad_ecg_spark.operators.halo import halo_rolling_median
+
+    return halo_rolling_median(_t(spark, sf_dir, "events"), h=3, chunk_rows=512)
+
+
+def q_halo_mp(spark, sf_dir):
+    from rad_ecg_spark.operators.halo import halo_mp_discord
+
+    return halo_mp_discord(_t(spark, sf_dir, "events"), w=8, chunk_rows=512)
+
+
+def _halo_median_oracle():
+    from rad_ecg_spark.operators.halo import halo_rolling_median_oracle_sql
+
+    return halo_rolling_median_oracle_sql(h=3)
+
+
+def _halo_mp_oracle():
+    from rad_ecg_spark.operators.halo import halo_mp_oracle_sql
+
+    return halo_mp_oracle_sql(w=8, chunk_rows=512)
+
+
 KERNEL_QUERIES = {
     "episodes_udtf": q_episodes,
     "stat_bundle": q_stat_bundle,
     "matrix_profile_discord": q_matrix_profile,
     "fluss_regime": q_fluss,
+    "halo_rolling_median": q_halo_rolling_median,
+    "halo_mp_discord": q_halo_mp,
 }
 
 KERNEL_ORACLES = {
@@ -69,4 +99,6 @@ KERNEL_ORACLES = {
     "stat_bundle": bundle_oracle_sql(),
     "matrix_profile_discord": _mp_oracle(),
     "fluss_regime": _fluss_oracle(),
+    "halo_rolling_median": _halo_median_oracle(),
+    "halo_mp_discord": _halo_mp_oracle(),
 }
