@@ -206,6 +206,33 @@ def embedding_neardup_pairs(
     )
 
 
+def _cell_structs(vec_col, centroids: list[list[float]]):
+    """[(d2 to centroid ci, ci), ...] as JVM struct expressions; d2 is a
+    left-assoc zip_with/aggregate fold (the oracle mirrors the order)."""
+    out = []
+    for ci, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(
+                vec_col, carr,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
+    return out
+
+
+def _cosine_topk_tail(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "rk", "vid", "cos")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -215,15 +242,20 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    fit_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: spark.ml KMeans coarse quantizer (fixed
     seed), vectors live in their nearest-centroid cell, queries probe the
     ``nprobe`` nearest cells only. The scan per query is an equi-join on
     cell id against ~nprobe/n_cells of the corpus.
 
-    At 100 TB: KMeans fits on a sample, ``transform`` is a map-side pass
-    (centroids broadcast by spark.ml), and the candidate join shuffles by
-    cell id — no all-pairs stage anywhere.
+    At 100 TB: the KMeans fit runs on a seeded SAMPLE (``fit_fraction``
+    — centroid quality needs thousands of points per cell, not the whole
+    corpus), ``transform`` is a map-side pass (centroids broadcast by
+    spark.ml), and the candidate join shuffles by cell id — no all-pairs
+    stage anywhere. Quality gate: recall pytest
+    (tests/test_dedup_similarity.py). For a fully deterministic,
+    SQL-checkable variant see ``ivf_fixed_topk``.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -233,7 +265,10 @@ def ivf_topk(
         F.col(vec_col).alias("vvec"),
         array_to_vector(F.col(vec_col)).alias("features"),
     )
-    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(v.select("features"))
+    fit_df = v.select("features")
+    if fit_fraction < 1.0:
+        fit_df = fit_df.sample(fraction=fit_fraction, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(fit_df)
     assigned = model.transform(v).select(
         "vid", "vvec", F.col("prediction").alias("cell")
     )
@@ -241,17 +276,13 @@ def ivf_topk(
     # centroids are tiny (n_cells × dim) → literal arrays, JVM expressions.
     cents = [c.tolist() for c in model.clusterCenters()]
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
-    cell_structs = []
-    for ci, c in enumerate(cents):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        d2 = F.aggregate(
-            F.zip_with(F.col("qvec"), carr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        cell_structs.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
     probe = (
-        q.select("qid", "qvec", F.explode(F.slice(F.array_sort(F.array(*cell_structs)), 1, nprobe)).alias("pc"))
+        q.select(
+            "qid", "qvec",
+            F.explode(
+                F.slice(F.array_sort(F.array(*_cell_structs(F.col("qvec"), cents))), 1, nprobe)
+            ).alias("pc"),
+        )
         .select("qid", "qvec", F.col("pc.cell").alias("cell"))
     )
     scored = (
@@ -259,9 +290,54 @@ def ivf_topk(
         .filter(F.col("vid") != F.col("qid"))
         .select("qid", "vid", cosine(F.col("qvec"), F.col("vvec")).alias("cos"))
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vid"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("qid", "rk", "vid", "cos")
+    return _cosine_topk_tail(scored, k)
+
+
+def ivf_centroids(dim: int, n_cells: int, seed: int = 11) -> list[list[float]]:
+    """Deterministic (seeded) centroid set for ivf_fixed_topk — random
+    Voronoi cells. Coarser than a fitted quantizer but reproducible as
+    double literals in any engine (same trick as ``hyperplanes``)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_cells, dim)).tolist()
+
+
+def ivf_fixed_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with FIXED centroids passed as literals: cell assignment
+    (argmin d2, ties to the smaller cell id) and the nprobe probe both
+    become pure JVM expressions, so the whole operator is
+    SQL-expressible and carries a full DuckDB oracle — the correctness
+    twin of ``ivf_topk`` (which fits its quantizer). Same scale shape:
+    map-side assignment, broadcast probe, equi-join on cell id."""
+    v = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vvec")
+    ).withColumn(
+        "cell",
+        F.array_sort(F.array(*_cell_structs(F.col("vvec"), centroids)))[0]["cell"],
     )
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    probe = (
+        q.select(
+            "qid", "qvec",
+            F.explode(
+                F.slice(
+                    F.array_sort(F.array(*_cell_structs(F.col("qvec"), centroids))),
+                    1, nprobe,
+                )
+            ).alias("pc"),
+        )
+        .select("qid", "qvec", F.col("pc.cell").alias("cell"))
+    )
+    scored = (
+        v.join(F.broadcast(probe), "cell")
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", "vid", cosine(F.col("qvec"), F.col("vvec")).alias("cos"))
+    )
+    return _cosine_topk_tail(scored, k)

@@ -370,20 +370,83 @@ SELECT qid, CAST(rk AS INT) AS rk, vid,
 FROM ranked WHERE rk <= {TOPK_K}"""
 
 
-# --- IVF ANN (spark.ml KMeans coarse quantizer) ---------------------------
-# registered WITHOUT an oracle: the k-means fit is not SQL-expressible,
-# so the driver records the weaker rows-only check; the operator's
-# quality gate is the recall pytest (tests/test_dedup_similarity.py).
+# --- IVF ANN, fixed-centroid variant (full DuckDB oracle) -----------------
+# The spark.ml-KMeans quantizer (operators/similarity.py:ivf_topk, now
+# sample-fit) is gated by the recall pytest — a k-means fit isn't
+# SQL-expressible. This registry entry is its correctness twin: the SAME
+# assignment/probe/join/topk plan with the centroid set as seeded double
+# literals, so every stage has an exact SQL mirror.
 
-def q_ivf_ann_topk(spark, sf_dir):
-    from rad_ecg_spark.operators.similarity import ivf_topk
+IVF_CELLS, IVF_NPROBE, IVF_SEED = 8, 2, 11
+
+
+def q_ivf_fixed_topk(spark, sf_dir):
+    from rad_ecg_spark.operators.similarity import ivf_centroids, ivf_fixed_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < N_QUERY_VECS)
-    r = ivf_topk(e, q, k=TOPK_K, n_cells=8, nprobe=2)
+    cents = ivf_centroids(LSH_DIM, IVF_CELLS, IVF_SEED)
+    r = ivf_fixed_topk(e, q, cents, k=TOPK_K, nprobe=IVF_NPROBE)
     return r.select(
         "qid", "rk", "vid", F.round(F.col("cos") * 1e6).cast("long").alias("cos_e6")
     )
+
+
+def _ivf_fixed_sql() -> str:
+    """DuckDB twin of q_ivf_fixed_topk: centroids as double literals,
+    d2/cosine as explicit left-assoc folds (matching Spark's
+    aggregate(zip_with) order), argmin assignment and nprobe probe via
+    row_number with (d2, cell) tie-break."""
+    from rad_ecg_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(LSH_DIM, IVF_CELLS, IVF_SEED)
+    dim = LSH_DIM
+
+    def d2(c):
+        return " + ".join(
+            f"(CAST(embedding[{j + 1}] AS DOUBLE) - {c[j]!r}) * "
+            f"(CAST(embedding[{j + 1}] AS DOUBLE) - {c[j]!r})"
+            for j in range(dim)
+        )
+
+    cells_union = "\nUNION ALL\n".join(
+        f"SELECT vec_id, embedding, {ci} AS cell, ({d2(c)}) AS d2 FROM embeddings"
+        for ci, c in enumerate(cents)
+    )
+    dotqv = " + ".join(
+        f"CAST(q.qemb[{i}] AS DOUBLE) * v.embedding[{i}]" for i in range(1, dim + 1)
+    )
+    qn = " + ".join(
+        f"CAST(q.qemb[{i}] AS DOUBLE) * q.qemb[{i}]" for i in range(1, dim + 1)
+    )
+    vn = " + ".join(
+        f"CAST(v.embedding[{i}] AS DOUBLE) * v.embedding[{i}]" for i in range(1, dim + 1)
+    )
+    return f"""
+WITH cells AS (
+{cells_union}
+), assign AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk
+    FROM cells
+  ) WHERE rk = 1
+), probe AS (
+  SELECT vec_id AS qid, embedding AS qemb, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk
+    FROM cells WHERE vec_id < {N_QUERY_VECS}
+  ) WHERE rk <= {IVF_NPROBE}
+), scored AS (
+  SELECT q.qid, v.vec_id AS vid,
+         ({dotqv}) / (sqrt({qn}) * sqrt({vn})) AS cos
+  FROM probe q JOIN assign v ON v.cell = q.cell AND v.vec_id <> q.qid
+), ranked AS (
+  SELECT qid, vid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rk
+  FROM scored
+)
+SELECT qid, CAST(rk AS INT) AS rk, vid,
+       CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+FROM ranked WHERE rk <= {TOPK_K}"""
 
 
 TEXT_QUERIES = {
@@ -396,7 +459,7 @@ TEXT_QUERIES = {
     "cosine_topk": q_cosine_topk,
     "simhash_pairs": q_simhash_pairs,
     "lsh_ann_topk": q_lsh_ann_topk,
-    "ivf_ann_topk": q_ivf_ann_topk,  # rows-only: no oracle (kmeans fit)
+    "ivf_fixed_topk": q_ivf_fixed_topk,
 }
 
 TEXT_ORACLES = {
@@ -409,4 +472,5 @@ TEXT_ORACLES = {
     "cosine_topk": _cosine_topk_sql(),
     "simhash_pairs": _simhash_sql(),
     "lsh_ann_topk": _lsh_ann_sql(),
+    "ivf_fixed_topk": _ivf_fixed_sql(),
 }

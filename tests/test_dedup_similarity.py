@@ -156,6 +156,50 @@ class TestSimilarity:
         assert {r["vid"] for r in top} == {1, 2, 3, 4}
         assert all(r["cos"] > 0.99 for r in top)
 
+
+    def test_ivf_sample_fit_recall_on_embeddings(self, spark):
+        """Sample-based KMeans fit (fit_fraction=0.5) keeps useful recall
+        vs brute force on the real embeddings table: planted-cluster data,
+        8 cells, probe 2 -> expect most true neighbors recovered."""
+        from rad_ecg_spark.operators.similarity import brute_force_topk, ivf_topk
+
+        vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = vecs.filter(F.col("vec_id") < 5)
+        truth = {
+            (r["qid"], r["vid"])
+            for r in brute_force_topk(vecs, q, k=3).collect()
+        }
+        got = {
+            (r["qid"], r["vid"])
+            for r in ivf_topk(
+                vecs, q, k=3, n_cells=8, nprobe=2, fit_fraction=0.5
+            ).collect()
+        }
+        recall = len(truth & got) / len(truth)
+        assert recall >= 0.6, f"recall {recall:.2f}"
+
+    def test_ivf_fixed_topk_exact_within_probed_cells(self, spark):
+        """ivf_fixed_topk with ALL cells probed degenerates to exact
+        brute force (same ranking tail) -> sanity for the fixed path."""
+        from rad_ecg_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_centroids,
+            ivf_fixed_topk,
+        )
+
+        vecs = self._vec_df(spark)
+        q = vecs.filter(F.col("vec_id") == 0)
+        cents = ivf_centroids(dim=8, n_cells=4, seed=11)
+        got = {
+            (r["qid"], r["rk"], r["vid"])
+            for r in ivf_fixed_topk(vecs, q, cents, k=4, nprobe=4).collect()
+        }
+        want = {
+            (r["qid"], r["rk"], r["vid"])
+            for r in brute_force_topk(vecs, q, k=4).collect()
+        }
+        assert got == want
+
     def test_embedding_neardup_pairs(self, spark):
         vecs = self._vec_df(spark)
         pairs = {(r["a"], r["b"]) for r in

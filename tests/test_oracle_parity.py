@@ -31,10 +31,11 @@ def test_query_matches_oracle(spark, duck, name):
 
 
 def test_every_query_has_oracle_or_is_flagged():
+    # every registered query carries a full DuckDB oracle (the KMeans-fit
+    # IVF path lives outside the registry behind its recall pytest; its
+    # fixed-centroid correctness twin ivf_fixed_topk is oracle-checked)
     missing = set(QUERIES) - set(ORACLES)
-    # non-SQL-expressible ops may omit the oracle; keep the list explicit
-    allowed_rows_only = {"ivf_ann_topk"}  # spark.ml kmeans fit isn't SQL
-    assert missing <= allowed_rows_only, f"unexpected oracle-less queries: {missing}"
+    assert not missing, f"unexpected oracle-less queries: {missing}"
 
 
 def test_entry_smoke(spark):
