@@ -246,6 +246,63 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
+def synth_event_bmp(
+    events: DataFrame, n_ids: int = 48, h: int = 8, w: int = 16
+) -> DataFrame:
+    """Deterministic planted BMP fixture keyed off the events table:
+    pixel (r, c) of image ``mid`` is a closed-form integer function of
+    (mid, r, c), so a SQL oracle can reproduce the decoded pixels
+    without parsing BMP — while the Spark path round-trips through the
+    REAL encoder/decoder (oracle-checkable codec exercise)."""
+    ids = (
+        events.filter(F.col("event_id") < n_ids)
+        .select(F.col("event_id").alias("media_id"))
+        .distinct()
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r = np.arange(h, dtype=np.int64)[:, None]
+        c = np.arange(w, dtype=np.int64)[None, :]
+        for b in batches:
+            rows = []
+            for mid in b["media_id"].tolist():
+                px = np.stack(
+                    [
+                        (mid * 7 + r * 13 + c * 31) % 256,
+                        (mid * 11 + r * 17 + c * 3) % 256,
+                        (mid * 5 + r * 29 + c * 23) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                rows.append((mid, bmp_encode(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return ids.mapInPandas(gen, "media_id long, payload binary")
+
+
+def image_luma_profile(media: DataFrame, n_strips: int = 8) -> DataFrame:
+    """payload -> per-vertical-strip EXACT integer luma sum (BT.601
+    coefficients scaled x1000: 299 R + 587 G + 114 B per pixel). The
+    integer output makes the real decode path hash-comparable against a
+    SQL oracle — the float-feature variant is extract_image_features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"media_id": [], "strip": [], "luma_sum_e3": []}
+            for mid, p in zip(b["media_id"], b["payload"]):
+                px = bmp_decode(bytes(p)).astype(np.int64)
+                lum = 299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+                for si, s in enumerate(np.array_split(lum, n_strips, axis=1)):
+                    out["media_id"].append(mid)
+                    out["strip"].append(si)
+                    out["luma_sum_e3"].append(int(s.sum()))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, strip int, luma_sum_e3 long"
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plan: (media_id, frame_idx) rows — the
     shuffle-level fan-out a real frame extractor would feed. JVM-side

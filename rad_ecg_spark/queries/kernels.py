@@ -85,6 +85,40 @@ def _halo_mp_oracle():
     return halo_mp_oracle_sql(w=8, chunk_rows=512)
 
 
+# --- multimodal codec path: BMP round-trip -> integer luma strips ---------
+# ref shape: binary block decode, lib_ebm/pyebmreader.py:68-181
+
+BMP_IDS, BMP_H, BMP_W, BMP_STRIPS = 48, 8, 16, 8
+
+
+def q_image_luma(spark, sf_dir):
+    from rad_ecg_spark.functions.multimodal import image_luma_profile, synth_event_bmp
+
+    media = synth_event_bmp(
+        _t(spark, sf_dir, "events"), n_ids=BMP_IDS, h=BMP_H, w=BMP_W
+    )
+    return image_luma_profile(media, n_strips=BMP_STRIPS)
+
+
+# np.array_split over BMP_W=16 columns into 8 strips -> strip = c // 2;
+# the pixel formulas mirror synth_event_bmp verbatim (all exact ints)
+IMAGE_LUMA_ORACLE = f"""
+WITH ids AS (
+  SELECT DISTINCT event_id AS mid FROM events WHERE event_id < {BMP_IDS}
+), px AS (
+  SELECT mid, r.r AS r, c.c AS c,
+         (mid * 7 + r.r * 13 + c.c * 31) % 256 AS red,
+         (mid * 11 + r.r * 17 + c.c * 3) % 256 AS grn,
+         (mid * 5 + r.r * 29 + c.c * 23) % 256 AS blu
+  FROM ids,
+       (SELECT unnest(range({BMP_H})) AS r) r,
+       (SELECT unnest(range({BMP_W})) AS c) c
+)
+SELECT mid AS media_id, CAST(c // {BMP_W // BMP_STRIPS} AS INT) AS strip,
+       CAST(sum(299 * red + 587 * grn + 114 * blu) AS BIGINT) AS luma_sum_e3
+FROM px GROUP BY 1, 2"""
+
+
 KERNEL_QUERIES = {
     "episodes_udtf": q_episodes,
     "stat_bundle": q_stat_bundle,
@@ -92,6 +126,7 @@ KERNEL_QUERIES = {
     "fluss_regime": q_fluss,
     "halo_rolling_median": q_halo_rolling_median,
     "halo_mp_discord": q_halo_mp,
+    "image_luma_profile": q_image_luma,
 }
 
 KERNEL_ORACLES = {
@@ -101,4 +136,5 @@ KERNEL_ORACLES = {
     "fluss_regime": _fluss_oracle(),
     "halo_rolling_median": _halo_median_oracle(),
     "halo_mp_discord": _halo_mp_oracle(),
+    "image_luma_profile": IMAGE_LUMA_ORACLE,
 }
