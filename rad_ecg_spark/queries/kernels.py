@@ -119,6 +119,21 @@ SELECT mid AS media_id, CAST(c // {BMP_W // BMP_STRIPS} AS INT) AS strip,
 FROM px GROUP BY 1, 2"""
 
 
+# --- power transform (Yeo-Johnson pandas UDF) ------------------------------
+# ref: PowerTransformer stage, ml/anomaly/ml_anom.py:798-821
+
+def q_power_transform(spark, sf_dir):
+    from rad_ecg_spark.functions.transforms import power_transform_query
+
+    return power_transform_query(_t(spark, sf_dir, "events"), lam=0.5)
+
+
+def _power_oracle():
+    from rad_ecg_spark.functions.transforms import POWER_TRANSFORM_ORACLE
+
+    return POWER_TRANSFORM_ORACLE
+
+
 KERNEL_QUERIES = {
     "episodes_udtf": q_episodes,
     "stat_bundle": q_stat_bundle,
@@ -127,6 +142,7 @@ KERNEL_QUERIES = {
     "halo_rolling_median": q_halo_rolling_median,
     "halo_mp_discord": q_halo_mp,
     "image_luma_profile": q_image_luma,
+    "power_transform": q_power_transform,
 }
 
 KERNEL_ORACLES = {
@@ -137,4 +153,5 @@ KERNEL_ORACLES = {
     "halo_rolling_median": _halo_median_oracle(),
     "halo_mp_discord": _halo_mp_oracle(),
     "image_luma_profile": IMAGE_LUMA_ORACLE,
+    "power_transform": _power_oracle(),
 }

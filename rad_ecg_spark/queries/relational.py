@@ -659,6 +659,43 @@ SELECT event_type, n,
 FROM g"""
 
 
+# --- salted hot-key join (supernode mitigation on a relational path) -----
+# ref shape: oversized-work-unit rerouting, peak_detect_v4.py:1664-1679.
+# ~75% of events are planted onto ONE key; salted_join fans that key over
+# n_salts subtasks (balance asserted in tests/test_kernels_and_io.py) and
+# the result equals the plain inner join — which is what the oracle runs.
+
+def q_salted_hot_join(spark, sf_dir):
+    from rad_ecg_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 4 < 3, F.lit(1))
+        .otherwise(F.pmod(F.col("user_id"), F.lit(50)) + 1)
+        .cast("long")
+        .alias("k"),
+        _cents(F.col("value")).alias("vc"),
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    j = salted_join(ev, dim, "k", n_salts=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vc").alias("sum_cents")
+    )
+
+
+ORACLE_SALTED_HOT_JOIN = """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 4 < 3 THEN 1 ELSE user_id % 50 + 1 END AS k,
+         CAST(round(value*100) AS BIGINT) AS vc
+  FROM events
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(vc) AS BIGINT) AS sum_cents
+FROM ev JOIN customer ON c_custkey = k
+GROUP BY 1"""
+
+
 RELATIONAL_QUERIES = {
     "pricing_summary": q_pricing_summary,
     "interval_stats": q_interval_stats,
@@ -678,6 +715,7 @@ RELATIONAL_QUERIES = {
     "pivot_event_dow": q_pivot_event_dow,
     "daily_distinct_users": q_daily_distinct_users,
     "variability_index": q_variability_index,
+    "salted_hot_join": q_salted_hot_join,
 }
 
 RELATIONAL_ORACLES = {
@@ -699,6 +737,7 @@ RELATIONAL_ORACLES = {
     "pivot_event_dow": ORACLE_PIVOT,
     "daily_distinct_users": ORACLE_DAILY_USERS,
     "variability_index": ORACLE_VARIABILITY,
+    "salted_hot_join": ORACLE_SALTED_HOT_JOIN,
 }
 
 

@@ -429,3 +429,72 @@ class TestBlockedKernelMemory:
             got = _blocked_nn(idx, z, 8, **kwargs)
             for a, b in zip(base, got):
                 assert np.array_equal(a, b)
+
+
+class TestSaltedJoinBalance:
+    def test_hot_key_spreads_even_for_duplicate_rows(self, spark):
+        """A single hot key whose rows are FULL duplicates still fans out
+        over all n_salts subtasks (per-row salt): max/median subtask input
+        < 4x. Then the salted join result equals the plain join on the
+        same skewed data."""
+        from rad_ecg_spark.operators.skew import salted_join
+
+        n_salts = 16
+        # 40k identical rows on one hot key + a cold tail
+        big = spark.range(0, 40_000).select(
+            F.lit(1).alias("k"), F.lit(7).alias("v")
+        ).unionAll(
+            spark.range(0, 400).select(
+                (F.col("id") % 50 + 2).alias("k"), F.col("id").alias("v")
+            )
+        )
+        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+        counts = sorted(
+            r["c"]
+            for r in big.filter(F.col("k") == 1)
+            .withColumn("s", salt)
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        assert len(counts) == n_salts, "hot key must hit every salt"
+        assert counts[-1] / counts[len(counts) // 2] < 4.0
+
+        small = spark.range(1, 52).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("name")
+        )
+        got = (
+            salted_join(big, small, "k", n_salts=n_salts)
+            .groupBy("k", "name")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .collect()
+        )
+        want = (
+            big.join(small, "k")
+            .groupBy("k", "name")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .collect()
+        )
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+class TestPowerTransform:
+    def test_general_lambda_matches_textbook_formula(self, spark):
+        import numpy as np
+
+        from rad_ecg_spark.functions.transforms import boxcox_udf, yeojohnson_udf
+
+        xs = (-3.5, -1.0, 0.0, 0.2, 4.0)
+        df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+        got = [r[0] for r in df.select(yeojohnson_udf(1.3)("x")).collect()]
+
+        def ref(x, lam=1.3):
+            if x >= 0:
+                return ((x + 1) ** lam - 1) / lam
+            return -(((1 - x) ** (2 - lam)) - 1) / (2 - lam)
+
+        assert np.allclose(got, [ref(x) for x in xs])
+        # box-cox: positive domain only, lam=0.5 -> 2(sqrt(x)-1)
+        gb = [r[0] for r in df.select(boxcox_udf(0.5)("x")).collect()]
+        assert gb[0] is None and gb[2] is None
+        assert abs(gb[4] - 2.0) < 1e-12
