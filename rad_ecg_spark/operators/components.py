@@ -18,9 +18,19 @@ A simpler ``hashmin`` method is kept both for cross-checking (exact
 same output) and as the measured fast path on LOW-diameter graphs:
 O(diameter) rounds, each one join+min-agg — at 10M edges / 1M vertices
 (diameter ~7) hashmin converges in 112 s vs star's 216 s on local[32].
-Star remains the default because its O(log n) round bound is the
-worst-case-safe choice at 10^12 scale, where a single long-chain
-component would make hashmin take O(chain length) rounds.
+
+``hybrid`` (the default for the registry query) combines them: run
+hashmin for a capped number of rounds — enough for any web-shaped
+(small-diameter) graph to finish — then, if not converged, CONTRACT the
+graph by the partial labels (quotient edges (label(u), label(v)),
+usually orders of magnitude smaller) and finish with star's O(log n)
+rounds on the contraction. Correctness: hashmin labels are component-
+consistent (label(v) is a vertex of v's component, and the component's
+global-min vertex always keeps itself as label), so contraction
+preserves connectivity and star's min-root over quotient nodes IS the
+original min vertex id. This keeps hashmin's measured 2x win on the
+common case without giving up the worst-case round bound on a
+long-chain component.
 
 Convergence detection without materializing edge-set diffs: the pair
 (edge_count, sum(xxhash64(src,dst))) is a fingerprint; two identical
@@ -103,8 +113,14 @@ def connected_components(
     method: str = "star",
     max_iter: int = 50,
     num_partitions: int | None = None,
+    hashmin_rounds: int = 12,
 ) -> DataFrame:
-    """DataFrame(id, component); component = min id in the component."""
+    """DataFrame(id, component); component = min id in the component.
+
+    ``method``: "star" (worst-case-safe O(log n) rounds), "hashmin"
+    (O(diameter) rounds, fastest on web-shaped graphs), or "hybrid"
+    (hashmin capped at ``hashmin_rounds``, then star on the label
+    contraction if not yet converged — see module docstring)."""
     spark = edges.sparkSession
     edges = normalize_edges(edges)
     verts = vertices_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
@@ -112,79 +128,118 @@ def connected_components(
         num_partitions = size_partitions(spark, verts.count() * 4)
 
     with pinned_loop_conf(spark):
-        result = _run(edges, verts, method, max_iter, num_partitions)
+        result = _run(edges, verts, method, max_iter, num_partitions, hashmin_rounds)
     out = result.select("id", "component")
     verts.unpersist()
     return out
 
 
-def _run(edges, verts, method, max_iter, num_partitions):
-    if method == "hashmin":
-        labels = verts.select("id", F.col("id").alias("component"))
-        sym = symmetrize(edges).repartition(num_partitions, "src").persist()
-        labels = labels.persist()
-        for it in range(max_iter):
-            nbr_min = (
-                sym.join(labels, sym.dst == labels.id)
-                .groupBy("src")
-                .agg(F.min("component").alias("nbr_min"))
+def _hashmin(edges, verts, max_rounds, num_partitions):
+    """(labels DataFrame(id, component), converged). Labels are always
+    component-consistent: label(v) = min id within some ball around v."""
+    labels = verts.select("id", F.col("id").alias("component"))
+    sym = symmetrize(edges).repartition(num_partitions, "src").persist()
+    labels = labels.persist()
+    converged = False
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_comp = F.least(
+            F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                new_comp.alias("component"),
+                # change detection inline (delta-as-a-column, see
+                # pagerank.py) — no per-iteration self-join
+                (new_comp != F.col("component")).cast("long").alias("changed"),
             )
-            new_comp = F.least(
-                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-            )
-            new_labels = (
-                labels.join(nbr_min, labels.id == nbr_min.src, "left")
-                .select(
-                    "id",
-                    new_comp.alias("component"),
-                    # change detection inline (delta-as-a-column, see
-                    # pagerank.py) — no per-iteration self-join
-                    (new_comp != F.col("component")).cast("long").alias("changed"),
-                )
-                # lineage truncation per iteration (see pagerank.py doc)
-                .localCheckpoint(eager=True)
-            )
-            changed = int(
-                new_labels.agg(F.coalesce(F.sum("changed"), F.lit(0))).collect()[0][0]
-            )
-            labels.unpersist()
-            free_local_checkpoint(labels)
-            # keep the checkpointed frame itself (not a projection) so the
-            # next round's free_local_checkpoint can release its blocks
-            labels = new_labels
-            if changed == 0:
-                break
-        sym.unpersist()
-        result = labels
-    else:
-        cur = (
-            symmetrize(edges)
+            # lineage truncation per iteration (see pagerank.py doc)
+            .localCheckpoint(eager=True)
+        )
+        changed = int(
+            new_labels.agg(F.coalesce(F.sum("changed"), F.lit(0))).collect()[0][0]
+        )
+        labels.unpersist()
+        free_local_checkpoint(labels)
+        # keep the checkpointed frame itself (not a projection) so the
+        # next round's free_local_checkpoint can release its blocks
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    sym.unpersist()
+    return labels, converged
+
+
+def _star_components(edges, num_partitions, max_iter):
+    """Star alternation on ``edges``; returns DataFrame(id, component)
+    covering the vertices that appear in edges (isolated vertices are
+    the caller's job)."""
+    cur = (
+        symmetrize(edges)
+        .repartition(num_partitions, "src")
+        .dropDuplicates(["src", "dst"])  # no extra shuffle (subset rule)
+    )
+    cur = cur_ckpt = cur.localCheckpoint(eager=True)
+    prev_ckpt = None
+    prev_fp = None
+    for _ in range(max_iter):
+        cur = _large_star(cur)
+        cur = _sym_nodedup(cur)  # star ops consume the symmetric view
+        cur = _small_star(cur)
+        prev_ckpt = cur_ckpt
+        cur = cur_ckpt = (
+            _sym_nodedup(cur)
             .repartition(num_partitions, "src")
-            .dropDuplicates(["src", "dst"])  # no extra shuffle (subset rule)
+            .dropDuplicates(["src", "dst"])  # ONE dedup per round
+            .localCheckpoint(eager=True)
         )
-        cur = cur_ckpt = cur.localCheckpoint(eager=True)
-        prev_ckpt = None
-        prev_fp = None
-        for _ in range(max_iter):
-            cur = _large_star(cur)
-            cur = _sym_nodedup(cur)  # star ops consume the symmetric view
-            cur = _small_star(cur)
-            prev_ckpt = cur_ckpt
-            cur = cur_ckpt = (
-                _sym_nodedup(cur)
-                .repartition(num_partitions, "src")
-                .dropDuplicates(["src", "dst"])  # ONE dedup per round
-                .localCheckpoint(eager=True)
-            )
-            fp = _fingerprint(cur)
-            free_local_checkpoint(prev_ckpt)
-            if fp == prev_fp:
-                break
-            prev_fp = fp
-        # stable symmetric star graph: component(v) = min(N(v) ∪ {v})
-        comp = _min_of_neighborhood(cur).select(
-            F.col("src").alias("id"), F.col("m").alias("component")
+        fp = _fingerprint(cur)
+        free_local_checkpoint(prev_ckpt)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # stable symmetric star graph: component(v) = min(N(v) ∪ {v})
+    return _min_of_neighborhood(cur).select(
+        F.col("src").alias("id"), F.col("m").alias("component")
+    )
+
+
+def _run(edges, verts, method, max_iter, num_partitions, hashmin_rounds=12):
+    if method == "hashmin":
+        result, _ = _hashmin(edges, verts, max_iter, num_partitions)
+    elif method == "hybrid":
+        labels, converged = _hashmin(edges, verts, hashmin_rounds, num_partitions)
+        if converged:
+            return labels
+        # contract by partial labels: quotient edges between label groups.
+        # |quotient| <= edges whose endpoints a hashmin ball never merged —
+        # tiny after ~diameter rounds on everything but adversarial chains.
+        ls = labels.select(F.col("id").alias("src"), F.col("component").alias("lsrc"))
+        ld = labels.select(F.col("id").alias("dst"), F.col("component").alias("ldst"))
+        quotient = (
+            edges.join(ls.hint("shuffle_hash"), "src")
+            .join(ld.hint("shuffle_hash"), "dst")
+            .filter(F.col("lsrc") != F.col("ldst"))
+            .select(F.col("lsrc").alias("src"), F.col("ldst").alias("dst"))
         )
+        roots = _star_components(quotient, num_partitions, max_iter).select(
+            F.col("id").alias("component"), F.col("component").alias("root")
+        )
+        # shuffle join, not broadcast: an adversarial (long-chain) graph
+        # can leave a quotient as large as the label set
+        result = labels.join(roots.hint("shuffle_hash"), "component", "left").select(
+            "id",
+            F.coalesce(F.col("root"), F.col("component")).alias("component"),
+        )
+    else:
+        comp = _star_components(edges, num_partitions, max_iter)
         result = (
             verts.join(comp, "id", "left")
             .select("id", F.coalesce(F.col("component"), F.col("id")).alias("component"))

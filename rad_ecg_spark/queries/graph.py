@@ -84,7 +84,10 @@ def q_pagerank_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return connected_components(derived_edges(spark, sf_dir), method="star")
+    # hybrid: hashmin (the measured 2x fast path on this low-diameter
+    # graph) capped at 12 rounds, star-on-contraction as the worst-case
+    # net — see operators/components.py docstring and BENCH/BASELINE.md
+    return connected_components(derived_edges(spark, sf_dir), method="hybrid")
 
 
 def q_labelprop_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -94,7 +94,7 @@ class TestPageRank:
 
 
 class TestConnectedComponents:
-    @pytest.mark.parametrize("method", ["star", "hashmin"])
+    @pytest.mark.parametrize("method", ["star", "hashmin", "hybrid"])
     def test_islands_exact(self, spark, method):
         got = {
             r["id"]: r["component"]
@@ -103,7 +103,7 @@ class TestConnectedComponents:
         exp = components_oracle(ISLANDS)
         assert got == exp
 
-    @pytest.mark.parametrize("method", ["star", "hashmin"])
+    @pytest.mark.parametrize("method", ["star", "hashmin", "hybrid"])
     def test_random_graph(self, spark, method):
         pairs = random_graph(80, 90, seed=3)  # sparse -> many components
         got = {
@@ -118,6 +118,23 @@ class TestConnectedComponents:
         a = connected_components(edges_df(spark, pairs), method="star")
         b = connected_components(edges_df(spark, pairs), method="hashmin")
         assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+    def test_hybrid_contraction_on_long_chain(self, spark):
+        """A 60-vertex chain with hashmin capped at 3 rounds cannot
+        converge in phase 1 -> the star-on-contraction path must finish
+        it exactly (plus a disjoint triangle for a second component)."""
+        chain = [(i, i + 1) for i in range(60)]
+        tri = [(100, 101), (101, 102), (100, 102)]
+        pairs = chain + tri
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                edges_df(spark, pairs), method="hybrid", hashmin_rounds=3
+            ).collect()
+        }
+        exp = components_oracle(pairs)
+        assert got == exp
 
 
 class TestLabelPropagation:
