@@ -136,22 +136,39 @@ def connected_components(
 
 def _hashmin(edges, verts, max_rounds, num_partitions):
     """(labels DataFrame(id, component), converged). Labels are always
-    component-consistent: label(v) = min id within some ball around v."""
-    labels = verts.select("id", F.col("id").alias("component"))
+    component-consistent: label(v) = min id within some ball around v.
+
+    Loop discipline mirrors labelprop (the measured 5.7x shape): sym
+    partitioned by src ONCE and joined to labels on src==id — both
+    hash-partitioned on the same key domain, so the join is
+    exchange-free — then the (dst, component) message stream pays the
+    round's ONE shuffle into the min aggregation, and the write-back
+    join is co-partitioned again (labels by id, nbr_min by dst).
+    Audited live by tools/audit_loops.py::hashmin_round_plan."""
+    labels = (
+        verts.select("id", F.col("id").alias("component"))
+        .repartition(num_partitions, "id")
+        .localCheckpoint(eager=True)
+    )
     sym = symmetrize(edges).repartition(num_partitions, "src").persist()
-    labels = labels.persist()
+    sym.count()
     converged = False
     for _ in range(max_rounds):
+        # min over neighbors of dst: sym is symmetric, so grouping the
+        # src-side labels by dst sees every neighbor of every vertex
+        msgs = sym.join(
+            labels.hint("shuffle_hash"), sym.src == labels.id
+        ).select("dst", "component")
         nbr_min = (
-            sym.join(labels, sym.dst == labels.id)
-            .groupBy("src")
+            msgs.repartition(num_partitions, "dst")
+            .groupBy("dst")
             .agg(F.min("component").alias("nbr_min"))
         )
         new_comp = F.least(
             F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
         )
         new_labels = (
-            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            labels.join(nbr_min.hint("shuffle_hash"), labels.id == nbr_min.dst, "left")
             .select(
                 "id",
                 new_comp.alias("component"),
@@ -165,7 +182,6 @@ def _hashmin(edges, verts, max_rounds, num_partitions):
         changed = int(
             new_labels.agg(F.coalesce(F.sum("changed"), F.lit(0))).collect()[0][0]
         )
-        labels.unpersist()
         free_local_checkpoint(labels)
         # keep the checkpointed frame itself (not a projection) so the
         # next round's free_local_checkpoint can release its blocks

@@ -144,6 +144,56 @@ def labelprop_round_plan(spark, P=4):
     return one_round(labels)
 
 
+def hashmin_round_plan(spark, P=4):
+    """One steady-state round of connected-components hashmin — the
+    common-case phase of the hybrid method (operators/components.py):
+    sym edges persisted+partitioned once, labels checkpointed, so a
+    round pays only the join/agg exchange."""
+    from rad_ecg_spark.operators.graph_core import (
+        normalize_edges,
+        symmetrize,
+        vertices_of,
+    )
+    from rad_ecg_spark.sources.synth_graph import synth_edges
+
+    e = synth_edges(spark, 100_000, partitions=P)
+    sym = (
+        symmetrize(normalize_edges(e))
+        .repartition(P, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sym.count()
+    labels = (
+        vertices_of(e)
+        .select("id", F.col("id").alias("component"))
+        .repartition(P, "id")
+        .localCheckpoint(eager=True)
+    )
+
+    def one_round(labels):
+        msgs = sym.join(
+            labels.hint("shuffle_hash"), sym.src == labels.id
+        ).select("dst", "component")
+        nbr_min = (
+            msgs.repartition(P, "dst")
+            .groupBy("dst")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_comp = F.least(
+            F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+        )
+        return labels.join(
+            nbr_min.hint("shuffle_hash"), labels.id == nbr_min.dst, "left"
+        ).select(
+            "id",
+            new_comp.alias("component"),
+            (new_comp != F.col("component")).cast("long").alias("changed"),
+        )
+
+    labels = one_round(labels).localCheckpoint(eager=True)  # warm to steady state
+    return one_round(labels)
+
+
 def main() -> None:
     from rad_ecg_spark.session import get_spark
 
@@ -161,6 +211,7 @@ def main() -> None:
     for name, df, budget in (
         ("pagerank_steady_iteration", pagerank_iteration_plan(spark), 1),
         ("labelprop_steady_round", labelprop_round_plan(spark), 1),
+        ("cc_hashmin_steady_round", hashmin_round_plan(spark), 1),
     ):
         n, hits = count_live_exchanges(df)
         ok = n <= budget
