@@ -95,11 +95,19 @@ def main() -> None:
     pages.unpersist()
 
     # --- query suite at sf_dir -----------------------------------------
+    # best-of-N per query: co-tenant noise on this host only ever SLOWS
+    # a run (2-5x bursts, see BENCH/BASELINE.md), so a single-run timing
+    # can masquerade as a regression (the r02 connected-components
+    # case). The min across repeats is the engine's number.
+    q_repeats = int(os.environ.get("BENCH_QUERY_REPEATS", "3"))
     for name in BENCH_QUERY_NAMES:
         fn = ALL_QUERIES[name]
-        t0 = time.monotonic()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.monotonic() - t0, 3)
+        runs = []
+        for _ in range(q_repeats):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).count()
+            runs.append(time.monotonic() - t0)
+        timings[name] = round(min(runs), 3)
 
     total = sum(timings.values())
     print(

@@ -19,7 +19,11 @@ Protocol (BASELINE.md §3, refined):
 - per-iteration shuffle bytes measured from the Spark event log, so the
   bandwidth story is data, not estimation.
 
-Usage: python tools/bench_scaling.py [n_edges] [iters] [n_cpus] [repeats]
+Runs are interleaved N,4N,N,4N (paired protocol): each adjacent pair
+shares its co-tenant noise window, and the per-pair efficiency
+distribution is reported alongside the best-over-all-runs floor.
+
+Usage: python tools/bench_scaling.py [n_edges] [iters] [n_cpus] [pairs]
 Writes BENCH/BASELINE.md.
 """
 
@@ -98,33 +102,56 @@ def run_once(cpus: int, n_edges: int, iters: int, parts: int) -> dict:
     raise RuntimeError(f"no result from local[{cpus}] run:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
-def run(cpus: int, n_edges: int, iters: int, parts: int, repeats: int) -> dict:
-    """Best-of-N: the sandbox has noisy co-tenancy; external noise only
-    ever slows a run down, so the fastest repeat is the engine's number."""
-    results = [run_once(cpus, n_edges, iters, parts) for _ in range(repeats)]
-    best = min(results, key=lambda r: r["best_iter_s"])
-    best["all_best_iter_s"] = [r["best_iter_s"] for r in results]
-    best["all_steady_iter_s"] = [r["steady_iter_s"] for r in results]
-    best["steady_iter_s"] = min(r["steady_iter_s"] for r in results)
-    best["eps_med"] = round(best["edges"] / best["steady_iter_s"])
-    return best
+def run_paired(n_cpus: int, n_edges: int, iters: int, parts: int, pairs: int) -> dict:
+    """INTERLEAVED paired protocol: alternate local[N] and local[4N]
+    runs back-to-back (A,B,A,B,...) within one session, so every pair
+    shares (as nearly as a noisy host allows) the same co-tenant
+    environment. Reports the per-pair efficiency distribution AND the
+    floor (best-over-all) estimate — the paired median is robust to the
+    'did both sides see the same noise?' objection that a floor estimate
+    alone invites."""
+    runs_N, runs_4N, pair_effs = [], [], []
+    for i in range(pairs):
+        rN = run_once(n_cpus, n_edges, iters, parts)
+        r4N = run_once(4 * n_cpus, n_edges, iters, parts)
+        runs_N.append(rN)
+        runs_4N.append(r4N)
+        eff = (r4N["eps_best"] / rN["eps_best"]) / 4
+        pair_effs.append(round(eff, 3))
+        print(f"pair {i + 1}/{pairs}: N best {rN['best_iter_s']}s, "
+              f"4N best {r4N['best_iter_s']}s, paired eff {eff:.3f}",
+              flush=True)
+    bN = min(runs_N, key=lambda r: r["best_iter_s"])
+    b4N = min(runs_4N, key=lambda r: r["best_iter_s"])
+    for b, rs in ((bN, runs_N), (b4N, runs_4N)):
+        b["all_best_iter_s"] = [r["best_iter_s"] for r in rs]
+        b["all_steady_iter_s"] = [r["steady_iter_s"] for r in rs]
+        b["steady_iter_s"] = min(r["steady_iter_s"] for r in rs)
+        b["eps_med"] = round(b["edges"] / b["steady_iter_s"])
+    s = sorted(pair_effs)
+    med = (s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2)
+    return {
+        "N": bN, "4N": b4N, "pair_effs": pair_effs,
+        "eff_paired_median": round(med, 3),
+        "eff_floor": round((b4N["eps_best"] / bN["eps_best"]) / 4, 3),
+        "eff_median_steady": round((b4N["eps_med"] / bN["eps_med"]) / 4, 3),
+    }
 
 
 def main() -> None:
     n_edges = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     n_cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     from rad_ecg_spark.operators.graph_core import EDGE_ROWS_PER_PARTITION
 
     parts = max(2, n_edges // EDGE_ROWS_PER_PARTITION)
-    rN = run(n_cpus, n_edges, iters, parts, repeats)
-    r4N = run(4 * n_cpus, n_edges, iters, parts, repeats)
-    eff_best = (r4N["eps_best"] / rN["eps_best"]) / 4
-    eff_med = (r4N["eps_med"] / rN["eps_med"]) / 4
-    result = {f"local{n_cpus}": rN, f"local{4*n_cpus}": r4N,
-              "efficiency_best": round(eff_best, 3), "efficiency_median": round(eff_med, 3)}
-    print(json.dumps(result, indent=2))
+    paired = run_paired(n_cpus, n_edges, iters, parts, pairs)
+    rN, r4N = paired["N"], paired["4N"]
+    eff_best = paired["eff_floor"]
+    eff_med = paired["eff_median_steady"]
+    repeats = pairs
+    print(json.dumps(paired, indent=2))
 
     md = f"""# BENCH/BASELINE — throughput + scaling evidence
 
@@ -147,6 +174,12 @@ an iteration faster than the engine's true speed), so the best iteration
 across {repeats} repeats is the engine number; the median of the last
 half is the pessimistic bound. Iteration 1 is excluded (JIT warmup).
 
+Runs are INTERLEAVED N,4N,N,4N,... ({repeats} adjacent pairs in one
+session), so each pair shares its co-tenant window as nearly as the
+host allows; the per-pair efficiency distribution is reported alongside
+the floor estimate, retiring the round-2 'the one-sided-noise model is
+taken on faith' caveat.
+
 ## Result — {rN['edges']:,} edges, {parts} partitions
 
 | config | best s/iter | median s/iter | edges/s/iter (best) | edges/s/iter (median) | shuffle W+R MB/iter |
@@ -154,10 +187,12 @@ half is the pessimistic bound. Iteration 1 is excluded (JIT warmup).
 | local[{rN['cpus']}]  (N)  | {rN['best_iter_s']} | {rN['steady_iter_s']} | {rN['eps_best']:,} | {rN['eps_med']:,} | {rN['shuffle_write_mb_per_iter']}+{rN['shuffle_read_mb_per_iter']} |
 | local[{r4N['cpus']}] (4N) | {r4N['best_iter_s']} | {r4N['steady_iter_s']} | {r4N['eps_best']:,} | {r4N['eps_med']:,} | {r4N['shuffle_write_mb_per_iter']}+{r4N['shuffle_read_mb_per_iter']} |
 
-**Scaling efficiency (best-iteration) = (eps_4N / eps_N) / 4 = {eff_best:.3f}**
-**Scaling efficiency (median)        = {eff_med:.3f}**
+**Scaling efficiency (floor: best-iteration over all runs) = (eps_4N / eps_N) / 4 = {eff_best:.3f}**
+**Scaling efficiency (median of {repeats} interleaved pairs) = {paired['eff_paired_median']:.3f}**
+**Scaling efficiency (steady-median)                       = {eff_med:.3f}**
 (target >= 0.8, north_rule)
 
+Per-pair efficiencies (adjacent interleaved N/4N runs): {paired['pair_effs']}
 Best iterations per repeat: N={rN['all_best_iter_s']}, 4N={r4N['all_best_iter_s']}
 Median steady per repeat:   N={rN['all_steady_iter_s']}, 4N={r4N['all_steady_iter_s']}
 Per-iteration walls (best repeat):
@@ -206,9 +241,12 @@ median of the last half of iterations; see BENCH_r{{N}}.json per round.
 Driver-run numbers vary with co-tenant load (2-5x).
 """
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    # BENCH/BASELINE.md carries hand-curated appendix sections
+    # (replications, membw, CSR disposition) — write the generated
+    # report beside it and merge the result tables by hand.
+    with open("BENCH/scaling_paired.md", "w") as f:
         f.write(md)
-    print("wrote BENCH/BASELINE.md")
+    print("wrote BENCH/scaling_paired.md")
 
 
 if __name__ == "__main__":
