@@ -24,6 +24,10 @@ def main() -> None:
     ap.add_argument("--edges", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--max-iter", type=int, default=50)
+    ap.add_argument("--method", default="hybrid",
+                    choices=["hybrid", "hashmin", "star"],
+                    help="components only: hybrid (capped hashmin + star "
+                         "on the contraction) is the recommended default")
     ap.add_argument("--partitions", type=int)
     args = ap.parse_args()
 
@@ -38,8 +42,10 @@ def main() -> None:
         from rad_ecg_spark.operators.components import connected_components
 
         out = connected_components(
-            edges, max_iter=args.max_iter, num_partitions=args.partitions
+            edges, method=args.method, max_iter=args.max_iter,
+            num_partitions=args.partitions
         )
+        info["method"] = args.method
     elif args.algo == "labelprop":
         from rad_ecg_spark.operators.labelprop import LabelPropStats, label_propagation
 
