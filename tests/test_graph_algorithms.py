@@ -120,6 +120,21 @@ class TestConnectedComponents:
         assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
 
 
+    @pytest.mark.parametrize("rounds", [0, 1, 3])
+    def test_hybrid_forced_contraction_random_graph(self, spark, rounds):
+        """Random sparse graph with the hashmin cap too small to
+        converge: the star-on-contraction phase must finish exactly.
+        rounds=0 is the degenerate identity contraction (star runs on
+        the original graph)."""
+        pairs = random_graph(120, 110, seed=11)
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                edges_df(spark, pairs), method="hybrid", hashmin_rounds=rounds
+            ).collect()
+        }
+        assert got == components_oracle(pairs)
+
     def test_hybrid_contraction_on_long_chain(self, spark):
         """A 60-vertex chain with hashmin capped at 3 rounds cannot
         converge in phase 1 -> the star-on-contraction path must finish
