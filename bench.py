@@ -42,6 +42,11 @@ BENCH_QUERY_NAMES = [
     "episodes_udtf",
     "stat_bundle",
     "doc_stats",
+    "matrix_profile_discord",
+    "halo_rolling_median",
+    "halo_mp_discord",
+    "ivf_fixed_topk",
+    "image_luma_profile",
     "simhash_pairs",
     "cosine_topk",
     "lsh_ann_topk",
