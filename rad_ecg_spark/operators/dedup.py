@@ -285,3 +285,94 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+# --- winnowing (rolling-hash) document fingerprints ---------------------
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003): hash every character k-gram of the whitespace-normalized
+    lowered text, then keep the minimum hash of every w-window of
+    consecutive k-gram hashes; the distinct selected hashes are the
+    document's fingerprint set. Guarantees: any shared substring of
+    length >= w + k - 1 contributes at least one SHARED fingerprint, so
+    fingerprint overlap finds partial-copy near-dups that word-level
+    Jaccard/MinHash (operators above) miss on reordered documents.
+
+    Plan shape at 10^12 docs: everything happens INSIDE one row — the
+    k-gram hash array and the window-min selection are JVM array
+    expressions (transform/slice/array_min), so the operator is
+    embarrassingly parallel with NO shuffle at all; only consumers
+    (grouping by fp) shuffle, and they see the winnowed ~2/(w+1)
+    density, not the raw gram stream. Per-row cost is O(len * w); docs
+    shorter than k characters carry no fingerprint and are dropped
+    (documented contract; n in [1, w) selects the single global min).
+
+    Returns (id_col, fp) rows, distinct per document.
+
+    Reference capability donor: content fingerprint + overlap detection
+    (/root/reference/src/rad_ecg/scripts/peak_detect_v4.py:1710-1731);
+    rolling/windowed scan shape (utils.py:54-76).
+    """
+    gram_hash = (
+        f"CAST(conv(substring(md5(substring(_norm, i, {k})), 1, 15), 16, 10)"
+        f" AS BIGINT) % {MERSENNE31}"
+    )
+    win_min = f"array_min(slice(_hashes, j, {w}))"
+    sel = (
+        f"CASE WHEN _n >= {w} THEN array_distinct("
+        f"transform(sequence(1, _n - {w - 1}), j -> {win_min}))"
+        f" ELSE array(array_min(_hashes)) END"
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return (
+        df.select(F.col(id_col), norm.alias("_norm"))
+        .withColumn("_n", F.length("_norm") - F.lit(k - 1))
+        .filter(F.col("_n") >= 1)
+        .withColumn("_hashes", F.expr(f"transform(sequence(1, _n), i -> {gram_hash})"))
+        .select(F.col(id_col), F.explode(F.expr(sel)).alias("fp"))
+    )
+
+
+def winnow_neardup(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints:
+    (a, b, shared) for pairs sharing >= min_shared selected hashes.
+
+    Scale shape: the pair generator is an equi-join on fp (never
+    all-pairs), and fingerprints shared by more than ``max_bucket``
+    documents (site boilerplate: headers, cookie banners) are dropped
+    BEFORE the join — the same mega-bucket cap as the LSH candidate
+    paths, bounding any single join task at max_bucket^2 pairs.
+    """
+    fps = winnow_fingerprints(df, k, w, text_col, id_col)
+    small = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .filter(F.col("_sz") <= max_bucket)
+        .select("fp")
+    )
+    capped = fps.join(small, "fp")
+    l = capped.select(F.col("fp"), F.col(id_col).alias("a"))
+    r = capped.select(F.col("fp"), F.col(id_col).alias("b"))
+    return (
+        l.join(r, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -449,6 +449,76 @@ SELECT qid, CAST(rk AS INT) AS rk, vid,
 FROM ranked WHERE rk <= {TOPK_K}"""
 
 
+# --- winnowing (rolling-hash) fingerprints + partial-copy near-dups -----
+# ref shape: content fingerprint + overlap detection peak_detect_v4.py:1710-1731
+
+WINNOW_K, WINNOW_W, WINNOW_MIN_SHARED = 8, 4, 2
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    from rad_ecg_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=WINNOW_K, w=WINNOW_W
+    )
+
+
+def q_winnow_neardup(spark, sf_dir):
+    from rad_ecg_spark.operators.dedup import winnow_neardup
+
+    return winnow_neardup(
+        _t(spark, sf_dir, "documents"),
+        k=WINNOW_K, w=WINNOW_W, min_shared=WINNOW_MIN_SHARED,
+    )
+
+
+def _winnow_base_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    """Shared CTE text: per-doc winnowed fingerprint rows."""
+    gram = (
+        f"CAST(concat('0x', substring(md5(substring(norm, i, {k})), 1, 15))"
+        f" AS UBIGINT) % {MERSENNE31}"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), sized AS (
+  SELECT doc_id, norm, length(norm) - {k - 1} AS n
+  FROM d WHERE length(norm) >= {k}
+), h AS (
+  SELECT doc_id, n,
+         list_transform(generate_series(1, n), i -> {gram}) AS hashes
+  FROM sized
+), sel AS (
+  SELECT doc_id,
+         CASE WHEN n >= {w} THEN list_distinct(
+           list_transform(generate_series(1, n - {w - 1}),
+                          j -> list_min(list_slice(hashes, j, j + {w - 1}))))
+         ELSE [list_min(hashes)] END AS fps
+  FROM h
+), fp_rows AS (
+  SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM sel
+)"""
+
+
+def _winnow_fp_sql() -> str:
+    return _winnow_base_sql() + "\nSELECT doc_id, fp FROM fp_rows"
+
+
+def _winnow_neardup_sql(min_shared: int = WINNOW_MIN_SHARED,
+                        max_bucket: int = 200) -> str:
+    return _winnow_base_sql() + f""",
+small AS (
+  SELECT fp FROM fp_rows GROUP BY fp HAVING count(*) <= {max_bucket}
+), capped AS (
+  SELECT f.doc_id, f.fp FROM fp_rows f JOIN small USING (fp)
+)
+SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+FROM capped l JOIN capped r ON l.fp = r.fp AND l.doc_id < r.doc_id
+GROUP BY a, b HAVING count(*) >= {min_shared}"""
+
+
 TEXT_QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup_summary": q_exact_dedup_summary,
@@ -460,6 +530,8 @@ TEXT_QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_fixed_topk": q_ivf_fixed_topk,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_neardup": q_winnow_neardup,
 }
 
 TEXT_ORACLES = {
@@ -473,4 +545,6 @@ TEXT_ORACLES = {
     "simhash_pairs": _simhash_sql(),
     "lsh_ann_topk": _lsh_ann_sql(),
     "ivf_fixed_topk": _ivf_fixed_sql(),
+    "winnow_fingerprints": _winnow_fp_sql(),
+    "winnow_neardup": _winnow_neardup_sql(),
 }

@@ -207,3 +207,61 @@ class TestSimilarity:
         assert (0, 1) in pairs
         # no cross-cluster pair survives the threshold
         assert all((a // 5) == (b // 5) for a, b in pairs)
+
+
+class TestWinnowing:
+    K, W = 8, 4
+
+    def _fps(self, spark, docs):
+        from rad_ecg_spark.operators.dedup import winnow_fingerprints
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {}
+        for r in winnow_fingerprints(df, k=self.K, w=self.W).collect():
+            out.setdefault(r["doc_id"], set()).add(r["fp"])
+        return out
+
+    def test_layout_insensitive(self, spark):
+        """Whitespace layout and case must not change the fingerprint set."""
+        base = "The quick brown fox jumps over the lazy dog near the bank"
+        messy = "  the   QUICK brown\tfox jumps  over the LAZY dog near the bank "
+        fps = self._fps(spark, [(1, base), (2, messy)])
+        assert fps[1] == fps[2]
+
+    def test_shared_substring_guarantee(self, spark):
+        """Winnowing guarantee (SIGMOD'03): documents sharing a substring
+        of length >= w + k - 1 share at least one fingerprint — even when
+        the surrounding text is completely different."""
+        shared = "zebra quantum fjord waltz"  # 25 chars > W + K - 1 = 11
+        a = "completely unrelated preamble " + shared + " and then some tail"
+        b = shared + " with a different continuation entirely here"
+        fps = self._fps(spark, [(1, a), (2, b)])
+        assert fps[1] & fps[2]
+
+    def test_disjoint_docs_share_nothing(self, spark):
+        fps = self._fps(
+            spark,
+            [(1, "aaaa bbbb cccc dddd eeee ffff"),
+             (2, "gggg hhhh iiii jjjj kkkk llll")],
+        )
+        assert not (fps[1] & fps[2])
+
+    def test_short_doc_single_fingerprint(self, spark):
+        # length k <= len < k + w - 1: exactly one selected hash
+        fps = self._fps(spark, [(1, "abcdefghi")])  # 9 chars, n=2 < w
+        assert len(fps[1]) == 1
+
+    def test_neardup_partial_copy_found(self, spark):
+        from rad_ecg_spark.operators.dedup import winnow_neardup
+
+        copied = "this exact paragraph was lifted verbatim from the source"
+        docs = [
+            (1, "original article text " + copied + " with original ending"),
+            (2, "a plagiarized piece: " + copied),
+            (3, "fully unrelated content about maritime navigation charts"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        pairs = {(r["a"], r["b"]) for r in
+                 winnow_neardup(df, k=self.K, w=self.W, min_shared=2).collect()}
+        assert (1, 2) in pairs
+        assert all(3 not in p for p in pairs)
