@@ -35,6 +35,22 @@ def n_tokens(col: Column) -> Column:
     return F.size(words(col))
 
 
+# GPT-2-style pre-tokenizer pattern (public: Radford et al. 2019 /
+# openai/gpt-2 encoder.py), restricted to ASCII classes so Spark (Java
+# regex) and DuckDB (RE2) match identically: contraction suffixes, then
+# optionally-space-prefixed letter runs, digit runs, symbol runs, then
+# leftover whitespace runs.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+|'"
+
+
+def n_tokens_bpe(col: Column) -> Column:
+    """BPE-ish token count for LLM-cost estimation: number of GPT-2-style
+    pre-tokenizer pieces (whitespace runs excluded — a single leading
+    space attaches to its token, as in the original pattern)."""
+    pieces = F.regexp_extract_all(F.lower(col), F.lit(BPE_SPLIT_RE), 0)
+    return F.size(F.filter(pieces, lambda t: ~t.rlike(r"^\s+$")))
+
+
 def punct_count(col: Column) -> Column:
     """Number of punctuation characters (.,!?;:)."""
     return F.length(col) - F.length(F.regexp_replace(col, r"[.,!?;:]", ""))

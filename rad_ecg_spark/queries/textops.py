@@ -449,6 +449,35 @@ SELECT qid, CAST(rk AS INT) AS rk, vid,
 FROM ranked WHERE rk <= {TOPK_K}"""
 
 
+# --- token counting: whitespace words + BPE-ish regex pieces ------------
+# LLM-cost estimation surface; GPT-2 pre-tokenizer pattern (public),
+# ASCII-restricted so Java regex (Spark) and RE2 (DuckDB) agree.
+
+def q_token_counts(spark, sf_dir):
+    from rad_ecg_spark.functions.textstats import n_tokens_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        n_tokens(F.col("text")).alias("n_words"),
+        n_tokens_bpe(F.col("text")).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_text"),
+    )
+
+
+def _token_counts_sql() -> str:
+    from rad_ecg_spark.functions.textstats import BPE_SPLIT_RE
+
+    esc = BPE_SPLIT_RE.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       len({WORDS_SQL.format(c='text')}) AS n_words,
+       len(list_filter(regexp_extract_all(lower(text), '{esc}'),
+                       x -> NOT regexp_matches(x, '^\\s+$'))) AS n_bpe_tokens,
+       length(text) AS n_chars_text
+FROM documents"""
+
+
 # --- winnowing (rolling-hash) fingerprints + partial-copy near-dups -----
 # ref shape: content fingerprint + overlap detection peak_detect_v4.py:1710-1731
 
@@ -530,6 +559,7 @@ TEXT_QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_fixed_topk": q_ivf_fixed_topk,
+    "token_counts": q_token_counts,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_neardup": q_winnow_neardup,
 }
@@ -545,6 +575,7 @@ TEXT_ORACLES = {
     "simhash_pairs": _simhash_sql(),
     "lsh_ann_topk": _lsh_ann_sql(),
     "ivf_fixed_topk": _ivf_fixed_sql(),
+    "token_counts": _token_counts_sql(),
     "winnow_fingerprints": _winnow_fp_sql(),
     "winnow_neardup": _winnow_neardup_sql(),
 }

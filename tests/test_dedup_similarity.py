@@ -265,3 +265,33 @@ class TestWinnowing:
                  winnow_neardup(df, k=self.K, w=self.W, min_shared=2).collect()}
         assert (1, 2) in pairs
         assert all(3 not in p for p in pairs)
+
+
+class TestBpeTokens:
+    def test_counts(self, spark):
+        from rad_ecg_spark.functions.textstats import n_tokens_bpe
+
+        df = spark.createDataFrame(
+            [(1, "It's a well-known fact: GPT-2 uses 50,257 tokens!"),
+             (2, "   leading  spaces "), (3, ""), (4, None)],
+            "id long, text string",
+        )
+        got = {r["id"]: r["n"] for r in
+               df.select("id", n_tokens_bpe(F.col("text")).alias("n")).collect()}
+        # "it" "'s" " a" " well" "-" "known" " fact" ":" " gpt" "-" "2"
+        # " uses" " 50" "," "257" " tokens" "!" = 17
+        assert got[1] == 17
+        # whitespace RUNS are their own (dropped) pieces, so the words
+        # survive as plain "leading" / "spaces" -> 2 counted tokens
+        assert got[2] == 2
+        assert got[3] == 0
+
+    def test_whitespace_attachment(self, spark):
+        from rad_ecg_spark.functions.textstats import n_tokens_bpe
+
+        df = spark.createDataFrame([(1, "a b"), (2, "a  b"), (3, " a b ")],
+                                   "id long, text string")
+        got = {r["id"]: r["n"] for r in
+               df.select("id", n_tokens_bpe(F.col("text")).alias("n")).collect()}
+        # one space attaches to the next token; extra runs are dropped
+        assert got == {1: 2, 2: 2, 3: 2}
