@@ -42,6 +42,7 @@ BENCH_QUERY_NAMES = [
     "episodes_udtf",
     "stat_bundle",
     "doc_stats",
+    "token_counts",
     "matrix_profile_discord",
     "halo_rolling_median",
     "halo_mp_discord",

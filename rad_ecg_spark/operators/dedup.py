@@ -358,6 +358,13 @@ def winnow_neardup(
     documents (site boilerplate: headers, cookie banners) are dropped
     BEFORE the join — the same mega-bucket cap as the LSH candidate
     paths, bounding any single join task at max_bucket^2 pairs.
+
+    Candidate density is governed by (k, w): small k on templated
+    corpora makes k-grams collide heavily and the pair count balloon
+    (the sf0.1 synthetic docs yield ~1.2M candidates at k=8). For real
+    web corpora use plagiarism-detection-scale parameters (k ~ 25,
+    w ~ 25) and treat the output as CANDIDATES to verify (e.g. exact
+    Jaccard on the pair list), as with the other LSH paths.
     """
     fps = winnow_fingerprints(df, k, w, text_col, id_col)
     small = (
