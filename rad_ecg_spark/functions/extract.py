@@ -80,5 +80,5 @@ def token_count(col: Column) -> Column:
     """Whitespace token count, JVM-side (no UDF)."""
     trimmed = F.trim(col)
     return F.when(trimmed == "", F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
+        F.size(F.split(trimmed, r"[ \t\n\f\r]+"))
     )

@@ -35,12 +35,22 @@ def n_tokens(col: Column) -> Column:
     return F.size(words(col))
 
 
+# Engine-independent whitespace class: Java regex \s includes U+000B
+# (vertical tab) but RE2's \s does not, so any \s shared between a Spark
+# expression and its DuckDB oracle diverges on VT-bearing input. Spell
+# the class out instead (the RE2 set, which both engines agree on).
+WS_CLASS = r"[ \t\n\f\r]"
+
 # GPT-2-style pre-tokenizer pattern (public: Radford et al. 2019 /
 # openai/gpt-2 encoder.py), restricted to ASCII classes so Spark (Java
 # regex) and DuckDB (RE2) match identically: contraction suffixes, then
 # optionally-space-prefixed letter runs, digit runs, symbol runs, then
-# leftover whitespace runs.
-BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+|'"
+# leftover whitespace runs (explicit class — see WS_CLASS).
+BPE_SPLIT_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \t\n\f\r']+|"
+    + WS_CLASS
+    + r"+|'"
+)
 
 
 def n_tokens_bpe(col: Column) -> Column:
@@ -48,7 +58,7 @@ def n_tokens_bpe(col: Column) -> Column:
     pre-tokenizer pieces (whitespace runs excluded — a single leading
     space attaches to its token, as in the original pattern)."""
     pieces = F.regexp_extract_all(F.lower(col), F.lit(BPE_SPLIT_RE), 0)
-    return F.size(F.filter(pieces, lambda t: ~t.rlike(r"^\s+$")))
+    return F.size(F.filter(pieces, lambda t: ~t.rlike("^" + WS_CLASS + "+$")))
 
 
 def punct_count(col: Column) -> Column:
@@ -102,5 +112,7 @@ def quality_score(col: Column) -> Column:
 
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowered text.
-    Exact-dup key (content-defined, layout-insensitive)."""
-    return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
+    Exact-dup key (content-defined, layout-insensitive). Explicit
+    whitespace class (WS_CLASS) so the DuckDB oracle normalizes
+    identically on all inputs, including vertical-tab."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(col), WS_CLASS + "+", " ")))

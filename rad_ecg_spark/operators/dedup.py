@@ -331,7 +331,11 @@ def winnow_fingerprints(
         f"transform(sequence(1, _n - {w - 1}), j -> {win_min}))"
         f" ELSE array(array_min(_hashes)) END"
     )
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    # explicit whitespace class (textstats.WS_CLASS): Java \s and RE2 \s
+    # disagree on U+000B, and the DuckDB oracle must normalize identically
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[ \t\n\f\r]+", " ")
+    )
     return (
         df.select(F.col(id_col), norm.alias("_norm"))
         .withColumn("_n", F.length("_norm") - F.lit(k - 1))

@@ -189,7 +189,14 @@ def halo_mp_discord(
 
     Reuses mp_discord_kernel (blocked, memory-capped) with the section
     as the group key; only the index offset differs."""
-    from rad_ecg_spark.operators.matrixprofile import MP_SCHEMA, mp_discord_kernel
+    from rad_ecg_spark.operators.matrixprofile import mp_discord_kernel
+
+    # long-typed output indices: the GLOBAL window starts here are
+    # unbounded (one series larger than any executor), so the keyed
+    # MP_SCHEMA's int32 discord_idx/nn_idx would overflow past 2^31 rows
+    halo_mp_schema = (
+        "user_id long, discord_idx long, nn_idx long, mp_e6 long, n_windows int"
+    )
 
     R = chunk_rows
     series = events.select(
@@ -213,14 +220,19 @@ def halo_mp_discord(
         )
         out = mp_discord_kernel(local, w)
         if len(out):
-            # local 1-based window start -> global window start
-            out["discord_idx"] += np.int32(section * R)
-            out["nn_idx"] += np.int32(section * R)
+            # local 1-based window start -> global window start, in int64
+            # (int32 would overflow past 2^31 global rows)
+            out["discord_idx"] = out["discord_idx"].astype(np.int64) + np.int64(
+                section
+            ) * np.int64(R)
+            out["nn_idx"] = out["nn_idx"].astype(np.int64) + np.int64(section) * np.int64(R)
+        else:
+            out = out.astype({"discord_idx": np.int64, "nn_idx": np.int64})
         return out
 
     return (
         chunked.groupBy("chunk")
-        .applyInPandas(kernel, MP_SCHEMA)
+        .applyInPandas(kernel, halo_mp_schema)
         .select(
             F.col("user_id").alias("section"),
             "discord_idx",
@@ -281,7 +293,7 @@ WITH o AS (
          row_number() OVER (PARTITION BY section ORDER BY mpv DESC, i ASC) AS rk
   FROM mp
 )
-SELECT d.section, CAST(i AS INT) AS discord_idx, CAST(nn AS INT) AS nn_idx,
+SELECT d.section, CAST(i AS BIGINT) AS discord_idx, CAST(nn AS BIGINT) AS nn_idx,
        CAST(floor(mpv * 1e6 + 0.5) AS BIGINT) AS mp_e6, c.n_windows
 FROM discord d JOIN cnt c USING (section)
 WHERE rk = 1"""

@@ -36,6 +36,7 @@ def salted_join(
     key: str,
     n_salts: int = 16,
     how: str = "inner",
+    unique_col: str | None = None,
 ) -> DataFrame:
     """Equi-join big⋈small on ``key`` with the hot-key fan-out spread
     over ``n_salts`` subtasks. Output rows equal ``big.join(small, key,
@@ -43,17 +44,26 @@ def salted_join(
     n_salts times, so right/full-outer would emit unmatched small rows
     n_salts times — asserted away).
 
-    The salt is per-ROW (hash of a physical row id), not per-value: a
-    hot key whose rows are full duplicates still spreads over all
-    n_salts subtasks. The row id is nondeterministic across task
-    retries, but the salt only routes rows to subtasks — join output
-    is salt-invariant, so the result is deterministic.
+    Salt derivation is DETERMINISTIC — this matters under stage retries:
+    Spark only guards round-robin repartition against indeterminate-stage
+    recomputation, so a nondeterministic salt (row id / rand) feeding a
+    shuffle-join key can duplicate or drop rows if a map stage is
+    recomputed after some reducers committed. Two modes:
+
+    - ``unique_col`` given: salt = xxhash64(that column) — per-row
+      spread even when the hot key's other columns are duplicated.
+      Use a primary key / event id.
+    - default: salt = xxhash64(all big-side columns). Fully duplicate
+      rows of a hot key then share a salt bucket (bounded residual skew
+      proportional to the duplicate multiplicity, documented tradeoff);
+      distinct rows spread uniformly.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left only, got {how!r}")
-    salt = F.pmod(
-        F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)
+    salt_src = (
+        [F.col(unique_col)] if unique_col is not None else [F.col(c) for c in big.columns]
     )
+    salt = F.pmod(F.xxhash64(*salt_src), F.lit(n_salts))
     big_s = big.withColumn("_salt", salt)
     salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("_salt")
     small_s = small.select("*", salts)

@@ -38,17 +38,31 @@ from pyspark.sql import functions as F
 
 def iceberg_catalogs(spark: SparkSession) -> list[str]:
     """Names of Iceberg catalogs configured on this session (the
-    public config contract: spark.sql.catalog.<name> = <impl class>)."""
+    public config contract: spark.sql.catalog.<name> = <impl class>).
+
+    Probes BOTH config surfaces: the SparkContext conf (builder.config
+    at context creation) and the session RuntimeConfig via ``SET``
+    (spark.conf.set on a live session, or builder.config when the
+    SparkContext was reused and only the session picked the entry up).
+    Missing the latter would refuse IcebergSink on a correctly
+    configured session."""
+    confs: dict[str, str] = {}
     try:
-        confs = spark.sparkContext.getConf().getAll()
+        confs.update(dict(spark.sparkContext.getConf().getAll()))
     except Exception:
-        confs = []
+        pass
+    try:
+        confs.update(
+            (r["key"], r["value"]) for r in spark.sql("SET").collect()
+        )
+    except Exception:
+        pass
     names = []
-    for k, v in confs:
+    for k, v in confs.items():
         if k.startswith("spark.sql.catalog.") and k.count(".") == 3:
             if "iceberg" in str(v).lower():
                 names.append(k.rsplit(".", 1)[-1])
-    return names
+    return sorted(set(names))
 
 
 def create_state_table_sql(table: str, state_df: DataFrame) -> str:

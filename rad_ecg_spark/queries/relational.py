@@ -674,11 +674,13 @@ def q_salted_hot_join(spark, sf_dir):
         .cast("long")
         .alias("k"),
         _cents(F.col("value")).alias("vc"),
+        "event_id",
     )
     dim = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"), "c_mktsegment"
     )
-    j = salted_join(ev, dim, "k", n_salts=8)
+    # event_id is the table's primary key -> deterministic per-row salt
+    j = salted_join(ev, dim, "k", n_salts=8, unique_col="event_id")
     return j.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"), F.sum("vc").alias("sum_cents")
     )

@@ -91,7 +91,7 @@ def q_exact_dedup_summary(spark, sf_dir):
 
 ORACLE_EXACT_DEDUP = r"""
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS BIGINT) AS n_distinct
+       CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g')))) AS BIGINT) AS n_distinct
 FROM documents"""
 
 
@@ -473,7 +473,7 @@ def _token_counts_sql() -> str:
 SELECT doc_id,
        len({WORDS_SQL.format(c='text')}) AS n_words,
        len(list_filter(regexp_extract_all(lower(text), '{esc}'),
-                       x -> NOT regexp_matches(x, '^\\s+$'))) AS n_bpe_tokens,
+                       x -> NOT regexp_matches(x, '^[ \t\n\f\r]+$'))) AS n_bpe_tokens,
        length(text) AS n_chars_text
 FROM documents"""
 
@@ -510,7 +510,7 @@ def _winnow_base_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
     return f"""
 WITH d AS (
   SELECT doc_id,
-         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+         trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g')) AS norm
   FROM documents
 ), sized AS (
   SELECT doc_id, norm, length(norm) - {k - 1} AS n

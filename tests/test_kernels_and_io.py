@@ -432,23 +432,26 @@ class TestBlockedKernelMemory:
 
 
 class TestSaltedJoinBalance:
-    def test_hot_key_spreads_even_for_duplicate_rows(self, spark):
-        """A single hot key whose rows are FULL duplicates still fans out
-        over all n_salts subtasks (per-row salt): max/median subtask input
-        < 4x. Then the salted join result equals the plain join on the
-        same skewed data."""
+    def test_hot_key_spreads_with_unique_col_salt(self, spark):
+        """A single hot key whose non-key columns are FULL duplicates
+        still fans out over all n_salts subtasks when ``unique_col``
+        names a primary key: salt = xxhash64(uid) is deterministic
+        (retry-safe — see skew.py docstring) yet per-row. max/median
+        subtask input < 4x; the join result equals the plain join."""
         from rad_ecg_spark.operators.skew import salted_join
 
         n_salts = 16
-        # 40k identical rows on one hot key + a cold tail
+        # 40k rows on one hot key (payload duplicated, uid unique) + tail
         big = spark.range(0, 40_000).select(
-            F.lit(1).alias("k"), F.lit(7).alias("v")
+            F.lit(1).alias("k"), F.lit(7).alias("v"), F.col("id").alias("uid")
         ).unionAll(
             spark.range(0, 400).select(
-                (F.col("id") % 50 + 2).alias("k"), F.col("id").alias("v")
+                (F.col("id") % 50 + 2).alias("k"),
+                F.col("id").alias("v"),
+                (F.col("id") + 100_000).alias("uid"),
             )
         )
-        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+        salt = F.pmod(F.xxhash64(F.col("uid")), F.lit(n_salts))
         counts = sorted(
             r["c"]
             for r in big.filter(F.col("k") == 1)
@@ -464,7 +467,7 @@ class TestSaltedJoinBalance:
             F.col("id").alias("k"), (F.col("id") * 10).alias("name")
         )
         got = (
-            salted_join(big, small, "k", n_salts=n_salts)
+            salted_join(big, small, "k", n_salts=n_salts, unique_col="uid")
             .groupBy("k", "name")
             .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
             .collect()
@@ -476,6 +479,35 @@ class TestSaltedJoinBalance:
             .collect()
         )
         assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    def test_default_salt_spreads_distinct_rows_and_is_deterministic(self, spark):
+        """Without unique_col the salt hashes ALL big-side columns:
+        distinct rows of a hot key spread (< 4x max/median), and the
+        same input always lands in the same buckets (retry-safe)."""
+        from rad_ecg_spark.operators.skew import salted_join
+
+        n_salts = 8
+        big = spark.range(0, 20_000).select(
+            F.lit(1).alias("k"), F.col("id").alias("v")
+        )
+        small = spark.createDataFrame([(1, "hot")], "k long, name string")
+
+        def bucket_counts():
+            return sorted(
+                r["c"]
+                for r in big.withColumn(
+                    "s", F.pmod(F.xxhash64(F.col("k"), F.col("v")), F.lit(n_salts))
+                )
+                .groupBy("s")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+
+        c1, c2 = bucket_counts(), bucket_counts()
+        assert c1 == c2, "default salt must be deterministic run-to-run"
+        assert len(c1) == n_salts
+        assert c1[-1] / c1[len(c1) // 2] < 4.0
+        assert salted_join(big, small, "k", n_salts=n_salts).count() == 20_000
 
 
 class TestPowerTransform:
