@@ -35,10 +35,9 @@ BENCH_QUERY_NAMES = [
     "sessionize",
     "asof_purchase_click",
     "topk_per_group",
-    "iqr_outliers",
+    "moment_stats",
     "rolling_median",
-    "tumbling_window",
-    "sliding_window",
+    "time_windows",
     "episodes_udtf",
     "stat_bundle",
     "doc_stats",

@@ -44,7 +44,7 @@ def windowed_counts(
 ) -> DataFrame:
     """Watermarked windowed count+sum per event_type — tumbling by
     default, OVERLAPPING (sliding) when ``slide`` is given; the
-    streaming twins of q_tumbling_window / q_sliding_window (same
+    streaming twins of q_time_windows (tumbling + sliding) (same
     numbers when the batch table is replayed through the stream)."""
     win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (

@@ -31,9 +31,9 @@ AUDITS: dict[str, dict] = {
         "max_exchanges": 2,
         "forbid": ["CartesianProduct"],
     },
-    "iqr_outliers": {
+    "moment_stats": {
         "expect": ["BroadcastHashJoin"],  # quantile table broadcast back
-        "max_exchanges": 3,
+        "max_exchanges": 5,
         "forbid": ["CartesianProduct", "SortMergeJoin"],
     },
     "impute_mean": {
