@@ -17,11 +17,17 @@ from pyspark.sql import functions as F
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: edge table derived from orders -> PageRank to 1e-6 ->
-    top-20 vertices joined back to customer names."""
+    top-20 vertices joined back to customer names.
+
+    Runs at sf0.1 by default (bench scale — the driver's entry exercise
+    should drive the engine, not a 1.4k-edge toy); override with
+    SPARK_GRAFT_ENTRY_SF_DIR for smoke runs on smaller data."""
+    import os
+
     from rad_ecg_spark.operators.pagerank import pagerank
     from rad_ecg_spark.queries.graph import derived_edges
 
-    sf_dir = "/root/testdata/sf0.001"
+    sf_dir = os.environ.get("SPARK_GRAFT_ENTRY_SF_DIR", "/root/testdata/sf0.1")
     edges = derived_edges(spark, sf_dir)
     ranks = pagerank(edges, tol=1e-6, max_iter=60)
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")

@@ -387,3 +387,118 @@ def winnow_neardup(
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def winnow_verified_pairs(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 200,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full winnow dedup pipeline: candidate pairs by shared
+    winnowing fingerprints (``winnow_neardup``), VERIFIED by the exact
+    word-set Jaccard >= num/den — the composition its candidates-only
+    stage documents as required (k-gram collisions make raw winnow
+    pairs low-precision at small k).
+
+    Scale shape: verification touches ONLY the candidate pair list (an
+    equi-join of candidates against the distinct token table, grouped to
+    intersection counts — Vernica et al. SIGMOD'10 verify step), never
+    all pairs. Candidates with zero word overlap drop out of the inner
+    intersection join; they cannot pass any positive threshold.
+
+    Returns (a, b, shared, inter, uni): fingerprint-share count plus the
+    exact intersection/union backing the Jaccard decision.
+    """
+    cand = winnow_neardup(
+        df, k, w, min_shared, max_bucket, text_col, id_col
+    )
+    tok = (
+        df.select(id_col, F.explode(words(F.col(text_col))).alias("w"))
+        .distinct()
+        .persist()
+    )
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(tok.select(F.col(id_col).alias("a"), "w"), "a")
+        .join(tok.select(F.col(id_col).alias("b"), "w"), ["b", "w"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        cand.join(inter, ["a", "b"])
+        .join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn("uni", F.col("sza") + F.col("szb") - F.col("inter"))
+        .filter(
+            F.col("inter") * threshold_den >= F.lit(threshold_num) * F.col("uni")
+        )
+        .select("a", "b", "shared", "inter", "uni")
+    )
+
+
+def dup_clusters(
+    df: DataFrame,
+    bands: int = 4,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    max_bucket: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end corpus dedup — the actual 100 TB pipeline shape:
+
+    1. candidate pairs by MinHash-LSH banding (equi-join, never O(n²));
+    2. exact word-Jaccard verification on the candidate list only;
+    3. connected components over the verified near-dup pair graph
+       (operators/components.py — the same engine the link-graph
+       queries use, here on DERIVED edges);
+    4. min-id representative per duplicate cluster.
+
+    Returns (doc_id, rep, cluster_size) for every document that belongs
+    to a verified near-dup cluster of size >= 2 (singletons are by
+    definition their own representative and are omitted — the caller
+    anti-joins to drop non-representatives).
+
+    Reference capability donor: overlap dedup via set-intersection +
+    rollback (peak_detect_v4.py:1710-1731); grouping shape
+    (porcine/pig_extract.py:1007).
+    """
+    from rad_ecg_spark.operators.components import connected_components
+
+    cand = minhash_lsh_candidates(df, text_col, id_col, bands, max_bucket)
+    tok = (
+        df.select(id_col, F.explode(words(F.col(text_col))).alias("w"))
+        .distinct()
+        .persist()
+    )
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(tok.select(F.col(id_col).alias("a"), "w"), "a")
+        .join(tok.select(F.col(id_col).alias("b"), "w"), ["b", "w"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    verified = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a"
+        )
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        .filter(
+            F.col("inter") * threshold_den
+            >= F.lit(threshold_num) * (F.col("sza") + F.col("szb") - F.col("inter"))
+        )
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    cc = connected_components(verified, method="star")
+    csize = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(csize, "component").select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("rep"),
+        "cluster_size",
+    )

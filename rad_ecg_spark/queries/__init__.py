@@ -14,5 +14,11 @@ from rad_ecg_spark.queries.kernels import KERNEL_ORACLES, KERNEL_QUERIES
 from rad_ecg_spark.queries.relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES
 from rad_ecg_spark.queries.textops import TEXT_ORACLES, TEXT_QUERIES
 
-ALL_QUERIES = {**GRAPH_QUERIES, **RELATIONAL_QUERIES, **TEXT_QUERIES, **KERNEL_QUERIES}
-ALL_ORACLES = {**GRAPH_ORACLES, **RELATIONAL_ORACLES, **TEXT_ORACLES, **KERNEL_ORACLES}
+# Enumeration order matters: the driver's CORRECTNESS artifact holds at
+# most 50 rows and takes queries in registry order, so the kernel
+# queries (never driver-checked in r03 because they enumerated last) go
+# FIRST. After the round-4 consolidation the registry is 49 entries, so
+# every query fits the window regardless — the ordering is belt-and-
+# braces for future additions.
+ALL_QUERIES = {**KERNEL_QUERIES, **TEXT_QUERIES, **GRAPH_QUERIES, **RELATIONAL_QUERIES}
+ALL_ORACLES = {**KERNEL_ORACLES, **TEXT_ORACLES, **GRAPH_ORACLES, **RELATIONAL_ORACLES}

@@ -484,20 +484,21 @@ FROM documents"""
 WINNOW_K, WINNOW_W, WINNOW_MIN_SHARED = 8, 4, 2
 
 
-def q_winnow_fingerprints(spark, sf_dir):
-    from rad_ecg_spark.operators.dedup import winnow_fingerprints
+# Verification threshold for winnow candidates: exact word-Jaccard >=
+# 9/10 (the corpus's near-dup definition). Measured precision of the raw
+# winnow candidate stage at (k=8, w=4) on the sf0.01 synthetic corpus:
+# 9,008 of 99,737 candidates survive (9.0%) — which is exactly why the
+# candidates-only output must be chained into verification.
+WINNOW_VER_NUM, WINNOW_VER_DEN = 9, 10
 
-    return winnow_fingerprints(
-        _t(spark, sf_dir, "documents"), k=WINNOW_K, w=WINNOW_W
-    )
 
+def q_winnow_verified(spark, sf_dir):
+    from rad_ecg_spark.operators.dedup import winnow_verified_pairs
 
-def q_winnow_neardup(spark, sf_dir):
-    from rad_ecg_spark.operators.dedup import winnow_neardup
-
-    return winnow_neardup(
+    return winnow_verified_pairs(
         _t(spark, sf_dir, "documents"),
         k=WINNOW_K, w=WINNOW_W, min_shared=WINNOW_MIN_SHARED,
+        threshold_num=WINNOW_VER_NUM, threshold_den=WINNOW_VER_DEN,
     )
 
 
@@ -531,28 +532,185 @@ WITH d AS (
 )"""
 
 
-def _winnow_fp_sql() -> str:
-    return _winnow_base_sql() + "\nSELECT doc_id, fp FROM fp_rows"
-
-
-def _winnow_neardup_sql(min_shared: int = WINNOW_MIN_SHARED,
-                        max_bucket: int = 200) -> str:
+def _winnow_verified_sql(min_shared: int = WINNOW_MIN_SHARED,
+                         max_bucket: int = 200,
+                         num: int = WINNOW_VER_NUM,
+                         den: int = WINNOW_VER_DEN) -> str:
+    w = WORDS_SQL.format(c="text")
     return _winnow_base_sql() + f""",
 small AS (
   SELECT fp FROM fp_rows GROUP BY fp HAVING count(*) <= {max_bucket}
 ), capped AS (
   SELECT f.doc_id, f.fp FROM fp_rows f JOIN small USING (fp)
+), cand AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+  FROM capped l JOIN capped r ON l.fp = r.fp AND l.doc_id < r.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+), tok AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({w})) AS w FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS inter
+  FROM cand c JOIN tok ta ON ta.doc_id = c.a
+              JOIN tok tb ON tb.doc_id = c.b AND tb.w = ta.w
+  GROUP BY 1, 2
 )
-SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
-FROM capped l JOIN capped r ON l.fp = r.fp AND l.doc_id < r.doc_id
-GROUP BY a, b HAVING count(*) >= {min_shared}"""
+SELECT c.a, c.b, c.shared, i.inter,
+       CAST(sa.sz + sb.sz - i.inter AS BIGINT) AS uni
+FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b
+WHERE i.inter * {den} >= {num} * (sa.sz + sb.sz - i.inter)"""
 
 
+# --- embedding-cosine near-dup pairs (banded hyperplane LSH self-join) ---
+# wider buckets than the ANN path (4 bits -> 32 buckets/table) and a low
+# threshold because the synthetic embeddings carry no planted near-dups
+# (max pairwise cos = 0.513); the oracle mirrors buckets, cap and the
+# left-assoc cosine fold exactly.
+
+NEARDUP_TABLES, NEARDUP_BITS, NEARDUP_COS_NUM = 2, 4, 0.4
+NEARDUP_MAX_BUCKET = 200
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from rad_ecg_spark.operators.similarity import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    r = embedding_neardup_pairs(
+        e,
+        threshold=NEARDUP_COS_NUM,
+        n_tables=NEARDUP_TABLES,
+        bits=NEARDUP_BITS,
+        dim=LSH_DIM,
+        max_bucket=NEARDUP_MAX_BUCKET,
+        seed=LSH_SEED,
+    )
+    return r.select(
+        "a", "b", F.round(F.col("cos") * 1e6).cast("long").alias("cos_e6")
+    )
+
+
+def _embedding_neardup_sql() -> str:
+    from rad_ecg_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(LSH_DIM, NEARDUP_TABLES, NEARDUP_BITS, LSH_SEED)
+
+    def dot_plane(plane):
+        return " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * {plane[j]!r}" for j in range(LSH_DIM)
+        )
+
+    bucket_cols = []
+    for t in range(NEARDUP_TABLES):
+        bits = " + ".join(
+            f"CASE WHEN ({dot_plane(planes[t][i])}) >= 0 THEN {1 << i} ELSE 0 END"
+            for i in range(NEARDUP_BITS)
+        )
+        bucket_cols.append(f"CAST({bits} AS BIGINT) AS bk{t}")
+    bucket_sel = ",\n    ".join(bucket_cols)
+    per_table = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS tid, bk{t} AS bucket FROM b"
+        for t in range(NEARDUP_TABLES)
+    )
+    dim = LSH_DIM
+    dotab = " + ".join(
+        f"CAST(ea.embedding[{i}] AS DOUBLE) * eb.embedding[{i}]" for i in range(1, dim + 1)
+    )
+    na = " + ".join(
+        f"CAST(ea.embedding[{i}] AS DOUBLE) * ea.embedding[{i}]" for i in range(1, dim + 1)
+    )
+    nb = " + ".join(
+        f"CAST(eb.embedding[{i}] AS DOUBLE) * eb.embedding[{i}]" for i in range(1, dim + 1)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+    {bucket_sel}
+  FROM embeddings
+), rows_t AS (
+{per_table}
+), keep AS (
+  SELECT tid, bucket FROM rows_t GROUP BY tid, bucket
+  HAVING count(*) <= {NEARDUP_MAX_BUCKET}
+), capped AS (
+  SELECT r.vec_id, r.tid, r.bucket FROM rows_t r JOIN keep USING (tid, bucket)
+), cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM capped l JOIN capped r
+    ON l.tid = r.tid AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+), scored AS (
+  SELECT c.a, c.b, ({dotab}) / (sqrt({na}) * sqrt({nb})) AS cos
+  FROM cand c JOIN embeddings ea ON ea.vec_id = c.a
+              JOIN embeddings eb ON eb.vec_id = c.b
+)
+SELECT a, b, CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+FROM scored WHERE cos >= {NEARDUP_COS_NUM}"""
+
+
+# --- end-to-end dedup pipeline: candidates -> verify -> CC -> rep --------
+# the actual corpus-dedup shape at 100 TB; the pair graph is DERIVED data
+# and connected components run on the same engine as the link-graph
+# queries. Oracle: recursive-CTE transitive closure + min-reachable rep.
+
+def q_dup_clusters(spark, sf_dir):
+    from rad_ecg_spark.operators.dedup import dup_clusters
+
+    return dup_clusters(
+        _t(spark, sf_dir, "documents"),
+        bands=4,
+        threshold_num=JACCARD_NUM,
+        threshold_den=JACCARD_DEN,
+    )
+
+
+def _dup_clusters_sql() -> str:
+    w = WORDS_SQL.format(c="text")
+    lsh = _minhash_lsh_sql_union().strip()
+    # the LSH SQL is itself a WITH ... SELECT; splice its CTEs into ours
+    assert lsh.upper().startswith("WITH")
+    lsh_ctes, lsh_select = lsh[4:].rsplit("SELECT", 1)
+    return f"""
+WITH RECURSIVE {lsh_ctes.rstrip().rstrip(",")},
+cand AS (SELECT{lsh_select}),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({w})) AS w FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c JOIN tok ta ON ta.doc_id = c.a
+              JOIN tok tb ON tb.doc_id = c.b AND tb.w = ta.w
+  GROUP BY 1, 2
+), verified AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE i.inter * {JACCARD_DEN} >= {JACCARD_NUM} * (sa.sz + sb.sz - i.inter)
+), sym AS (
+  SELECT a AS u, b AS v FROM verified UNION SELECT b, a FROM verified
+), reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+), members AS (
+  SELECT u AS doc_id, least(u, min(v)) AS rep FROM reach GROUP BY u
+)
+SELECT doc_id, rep,
+       CAST(count(*) OVER (PARTITION BY rep) AS BIGINT) AS cluster_size
+FROM members"""
+
+
+# Registry consolidation (round 4): signature/candidate STAGE queries
+# (minhash_signatures, winnow_fingerprints, winnow_neardup) are subsumed
+# by their pair-stage consumers (minhash_lsh_candidates reruns the
+# signature SQL inside its oracle; winnow_verified chains candidates ->
+# exact-Jaccard verification). New: embedding_neardup (LSH self-join)
+# and dup_clusters (candidates -> verify -> connected components -> rep,
+# the end-to-end corpus dedup pipeline).
 TEXT_QUERIES = {
     "doc_stats": q_doc_stats,
     "exact_dedup_summary": q_exact_dedup_summary,
     "jaccard_neardup": q_jaccard_neardup,
-    "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "embedding_centroids": q_embedding_centroids,
     "cosine_topk": q_cosine_topk,
@@ -560,15 +718,15 @@ TEXT_QUERIES = {
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_fixed_topk": q_ivf_fixed_topk,
     "token_counts": q_token_counts,
-    "winnow_fingerprints": q_winnow_fingerprints,
-    "winnow_neardup": q_winnow_neardup,
+    "winnow_verified": q_winnow_verified,
+    "embedding_neardup": q_embedding_neardup,
+    "dup_clusters": q_dup_clusters,
 }
 
 TEXT_ORACLES = {
     "doc_stats": _doc_stats_sql(),
     "exact_dedup_summary": ORACLE_EXACT_DEDUP,
     "jaccard_neardup": _jaccard_sql(),
-    "minhash_signatures": _minhash_sig_sql(),
     "minhash_lsh_candidates": _minhash_lsh_sql_union(),
     "embedding_centroids": ORACLE_CENTROIDS,
     "cosine_topk": _cosine_topk_sql(),
@@ -576,6 +734,7 @@ TEXT_ORACLES = {
     "lsh_ann_topk": _lsh_ann_sql(),
     "ivf_fixed_topk": _ivf_fixed_sql(),
     "token_counts": _token_counts_sql(),
-    "winnow_fingerprints": _winnow_fp_sql(),
-    "winnow_neardup": _winnow_neardup_sql(),
+    "winnow_verified": _winnow_verified_sql(),
+    "embedding_neardup": _embedding_neardup_sql(),
+    "dup_clusters": _dup_clusters_sql(),
 }

@@ -266,6 +266,66 @@ class TestWinnowing:
         assert (1, 2) in pairs
         assert all(3 not in p for p in pairs)
 
+    def test_verified_pairs_drop_gram_collisions(self, spark):
+        """winnow_verified_pairs = winnow candidates -> exact Jaccard.
+        A pair sharing only a short substring (winnow candidate) but few
+        words must NOT survive a high word-Jaccard threshold, while a
+        real near-dup must."""
+        from rad_ecg_spark.operators.dedup import (
+            winnow_neardup,
+            winnow_verified_pairs,
+        )
+
+        shared = "zebra quantum fjord waltz"
+        docs = [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "unrelated preamble " + shared + " with some tail text"),
+            (4, shared + " followed by an entirely different continuation"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        cand = {(r["a"], r["b"]) for r in
+                winnow_neardup(df, k=self.K, w=self.W, min_shared=2).collect()}
+        assert (3, 4) in cand, "substring-sharing pair must be a candidate"
+        got = {
+            (r["a"], r["b"]): (r["inter"], r["uni"])
+            for r in winnow_verified_pairs(
+                df, k=self.K, w=self.W, min_shared=2,
+                threshold_num=7, threshold_den=10,
+            ).collect()
+        }
+        assert (1, 2) in got
+        inter, uni = got[(1, 2)]  # 9 distinct words each, 8 shared
+        assert inter == 8 and uni == 10
+        assert (3, 4) not in got, "verification must kill the collision pair"
+
+
+class TestDupClusters:
+    def test_clusters_min_rep_and_size(self, spark):
+        """candidates -> verify -> CC -> min-id rep: two planted clusters
+        {1,2,3} (transitively: 1~2, 2~3) and {10,11}; singletons absent."""
+        from rad_ecg_spark.operators.dedup import dup_clusters
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = [
+            (1, base),
+            (2, base),                       # exact dup of 1
+            (3, base + " lambda"),           # near dup of 1/2 (10/11)
+            (10, "one two three four five six seven eight nine ten"),
+            (11, "one two three four five six seven eight nine ten"),
+            (20, "completely unrelated content about maritime charts"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = {
+            r["doc_id"]: (r["rep"], r["cluster_size"])
+            for r in dup_clusters(
+                df, bands=4, threshold_num=9, threshold_den=10
+            ).collect()
+        }
+        assert rows[1] == (1, 3) and rows[2] == (1, 3) and rows[3] == (1, 3)
+        assert rows[10] == (10, 2) and rows[11] == (10, 2)
+        assert 20 not in rows
+
 
 class TestBpeTokens:
     def test_counts(self, spark):
