@@ -73,19 +73,39 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # --- headline: PageRank throughput on the synthetic bench graph ----
+    # Best-of-N (default 3 full runs): co-tenant contention on this
+    # shared host only ever SLOWS a run (measured 2-30x bursts, see
+    # BENCH/BASELINE.md memory-bandwidth appendix), so a single-run
+    # headline can masquerade as an engine regression (the BENCH_r03
+    # case: 14.2s/7.6s burst iterations against a 2.7s steady state).
+    # Per run: steady iteration = median of the last half of iterations
+    # (skips JIT/cache warmup, independent of iteration count, excludes
+    # one-time setup). Headline = edges / best steady iteration across
+    # runs; every run's full iteration trace is kept in detail so a
+    # contention window is visible in the artifact itself.
+    pr_repeats = int(os.environ.get("BENCH_PR_REPEATS", "3"))
     edges = synth_edges(spark, n_edges)
     e_count = edges.count()  # materialize the input before timing
-    t0 = time.monotonic()
-    stats = PageRankStats()
-    pagerank(edges, tol=0.0, max_iter=pr_iters, stats=stats).count()
-    pr_wall = time.monotonic() - t0
-    # STEADY-STATE per-iteration wall (median of the last half of
-    # iterations, skipping JIT/cache warmup) — the headline must not
-    # depend on iteration count or fold one-time setup into the rate.
-    half = sorted(stats.iter_wall_s[len(stats.iter_wall_s) // 2 :])
-    steady_iter_s = half[len(half) // 2]
-    edges_per_sec_iter = stats.num_edges / steady_iter_s
-    timings["pagerank_synth"] = round(pr_wall, 3)
+    pr_runs: list[dict] = []
+    for _ in range(pr_repeats):
+        t0 = time.monotonic()
+        stats = PageRankStats()
+        pagerank(edges, tol=0.0, max_iter=pr_iters, stats=stats).count()
+        pr_wall = time.monotonic() - t0
+        half = sorted(stats.iter_wall_s[len(stats.iter_wall_s) // 2 :])
+        pr_runs.append(
+            {
+                "wall_s": round(pr_wall, 3),
+                "setup_s": round(stats.setup_wall_s, 3),
+                "iter_wall_s": stats.iter_wall_s,
+                "steady_iter_s": half[len(half) // 2],
+            }
+        )
+    n_graph_edges = stats.num_edges
+    steady_iter_s = min(r["steady_iter_s"] for r in pr_runs)
+    floor_iter_s = min(min(r["iter_wall_s"]) for r in pr_runs)
+    edges_per_sec_iter = n_graph_edges / steady_iter_s
+    timings["pagerank_synth"] = round(min(r["wall_s"] for r in pr_runs), 3)
 
     # --- extraction throughput: pages -> edges via Arrow UDF -----------
     from rad_ecg_spark.functions.extract import pages_to_edges
@@ -105,13 +125,15 @@ def main() -> None:
     # can masquerade as a regression (the r02 connected-components
     # case). The min across repeats is the engine's number.
     q_repeats = int(os.environ.get("BENCH_QUERY_REPEATS", "3"))
+    query_runs: dict[str, list[float]] = {}
     for name in BENCH_QUERY_NAMES:
         fn = ALL_QUERIES[name]
         runs = []
         for _ in range(q_repeats):
             t0 = time.monotonic()
             fn(spark, sf_dir).count()
-            runs.append(time.monotonic() - t0)
+            runs.append(round(time.monotonic() - t0, 3))
+        query_runs[name] = runs  # all repeats -> detail (self-diagnosing)
         timings[name] = round(min(runs), 3)
 
     total = sum(timings.values())
@@ -125,14 +147,17 @@ def main() -> None:
                 "sf": sf,
                 "detail": {
                     "bench_edges": e_count,
-                    "pagerank_iterations": stats.iterations,
-                    "pagerank_wall_s": round(pr_wall, 3),
-                    "pagerank_setup_s": round(stats.setup_wall_s, 3),
-                    "pagerank_iter_wall_s": stats.iter_wall_s,
+                    "pagerank_iterations": pr_iters,
+                    "pagerank_repeats": pr_runs,
                     "steady_iter_s": round(steady_iter_s, 3),
+                    "floor_iter_s": round(floor_iter_s, 3),
+                    "edges_per_sec_at_floor_iter": round(
+                        n_graph_edges / floor_iter_s
+                    ),
                     "pages_extracted": n_pages,
                     "edges_extracted": n_extracted,
                     "pages_per_sec": round(n_pages / ext_wall),
+                    "query_runs_s": query_runs,
                     "total_query_wall_s": round(total, 3),
                     "cpus": cpus,
                 },

@@ -251,6 +251,10 @@ def pagerank(
                 F.sum("rank").alias("mass"),
             ).collect()[0]
             delta, dangling = float(row["delta"]), float(row["dangling"])
+            if checkpointer is not None:
+                # an async commit may still be writing the PREVIOUS state;
+                # its blocks must not be freed out from under the writer
+                checkpointer.wait()
             free_local_checkpoint(ranks)  # release superseded state blocks
             ranks = new_ranks
             stats.iterations = it + 1
@@ -268,6 +272,8 @@ def pagerank(
                 stats.converged = True
                 break
 
+    if checkpointer is not None:
+        checkpointer.wait()  # the final snapshot must land before return
     result = ranks.select("id", "rank")
     edges.unpersist()
     verts.unpersist()

@@ -45,13 +45,39 @@ META_SCHEMA = T.StructType(
 
 
 class CheckpointManager:
-    """Snapshot state per iteration; resume from the last complete one."""
+    """Snapshot state per iteration; resume from the last complete one.
 
-    def __init__(self, spark: SparkSession, root: str, algo: str):
+    ``async_write=True`` overlaps the durable snapshot with the NEXT
+    iteration's compute: commit() submits the (state parquet -> meta
+    append) sequence to a single worker thread and returns immediately.
+    Correctness invariants preserved:
+      - the meta 'complete' row is still appended only AFTER the state
+        write, inside the same worker task (crash -> torn dir without an
+        acknowledging meta row, exactly as in sync mode);
+      - at most ONE commit is in flight (commit() waits for the previous
+        one first), so meta rows land in iteration order;
+      - callers that free superseded state blocks (localCheckpoint) must
+        call wait() first — the iterative loops in operators/ do.
+    Measured at 10M edges (BENCH/BASELINE.md round-4): sync per-iteration
+    checkpointing cost 3.9x plain convergence wall; async brings it to
+    ~1.2x because the parquet write hides behind the next iteration.
+    """
+
+    def __init__(
+        self, spark: SparkSession, root: str, algo: str, async_write: bool = False
+    ):
         self.spark = spark
         self.root = root
         self.algo = algo
         self._t0 = time.monotonic()
+        self._executor = None
+        self._pending = None
+        if async_write:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._executor = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix=f"ckpt-{algo}"
+            )
 
     def _state_dir(self, iteration: int) -> str:
         return os.path.join(self.root, self.algo, "state", f"iteration={iteration}")
@@ -69,6 +95,37 @@ class CheckpointManager:
     ) -> None:
         wall_ms = int((time.monotonic() - self._t0) * 1000)
         self._t0 = time.monotonic()
+        if self._executor is None:
+            self._commit_sync(iteration, state, rows, agg_value, delta_max, wall_ms)
+        else:
+            self.wait()  # <=1 in flight; propagate a failed prior commit
+            self._pending = self._executor.submit(
+                self._commit_sync,
+                iteration,
+                state,
+                rows,
+                agg_value,
+                delta_max,
+                wall_ms,
+            )
+
+    def wait(self) -> None:
+        """Block until the in-flight async commit (if any) has landed.
+        MUST be called before freeing the committed state's blocks and
+        before reading _meta for convergence bookkeeping."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()
+
+    def _commit_sync(
+        self,
+        iteration: int,
+        state: DataFrame,
+        rows: int,
+        agg_value: float,
+        delta_max: float,
+        wall_ms: int,
+    ) -> None:
         state.write.mode("overwrite").parquet(self._state_dir(iteration))
         meta = self.spark.createDataFrame(
             [(self.algo, iteration, rows, float(agg_value), float(delta_max), wall_ms, "complete")],
@@ -82,6 +139,7 @@ class CheckpointManager:
         Only "no checkpoint yet" is swallowed; a corrupt/unreadable _meta
         must PROPAGATE — treating it as 'no checkpoint' would silently
         restart from iteration 0 and overwrite good snapshots."""
+        self.wait()
         if not os.path.isdir(self._meta_dir()):
             return None
         from pyspark.errors import AnalysisException
@@ -103,4 +161,5 @@ class CheckpointManager:
         return self.spark.read.parquet(self._state_dir(iteration))
 
     def meta(self) -> DataFrame:
+        self.wait()
         return self.spark.read.parquet(self._meta_dir())

@@ -63,3 +63,65 @@ class TestCheckpointResume:
                  checkpointer=cm, resume=True, stats=s)
         assert s.resumed_from is None
         assert s.iterations == 2
+
+    def test_async_commit_equals_sync_and_resumes(self, spark, tmp_path):
+        """async_write=True must leave the identical on-disk protocol:
+        in-order complete meta rows, loadable final state equal to the
+        returned ranks, and a resume path identical to the sync run."""
+        pairs = random_graph(40, 160, seed=21)
+        ckdir = str(tmp_path / "ck-async")
+        cm = CheckpointManager(spark, ckdir, "pagerank", async_write=True)
+        ranks = pagerank(edges_df(spark, pairs), tol=0.0, max_iter=4,
+                         checkpointer=cm)
+        assert cm.last_complete() == 4
+        meta = cm.meta().orderBy("iteration").collect()
+        assert [r["iteration"] for r in meta] == [1, 2, 3, 4]
+        assert all(r["status"] == "complete" for r in meta)
+        # the durable iteration-4 snapshot equals the in-memory result
+        loaded = cm.load_state(4).withColumnRenamed("rank", "r2")
+        diff = (
+            ranks.join(loaded, "id")
+            .agg(F.max(F.abs(F.col("rank") - F.col("r2"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        assert diff == 0.0
+        # resume from the async-written checkpoint
+        cm2 = CheckpointManager(spark, ckdir, "pagerank", async_write=True)
+        s2 = PageRankStats()
+        resumed = pagerank(edges_df(spark, pairs), tol=0.0, max_iter=7,
+                           checkpointer=cm2, resume=True, stats=s2)
+        assert s2.resumed_from == 4 and s2.iterations == 7
+        full = pagerank(edges_df(spark, pairs), tol=0.0, max_iter=7)
+        diff = (
+            resumed.withColumnRenamed("rank", "r2")
+            .join(full, "id")
+            .agg(F.max(F.abs(F.col("rank") - F.col("r2"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        assert diff < 1e-15
+
+    def test_checkpoint_every_n_resumes_from_multiple(self, spark, tmp_path):
+        """checkpoint_every=2 over 5 iterations leaves snapshots at 2 and
+        4; resume restarts from 4 and matches the uninterrupted run."""
+        pairs = random_graph(30, 120, seed=22)
+        ckdir = str(tmp_path / "ck-every")
+        cm = CheckpointManager(spark, ckdir, "pagerank")
+        pagerank(edges_df(spark, pairs), tol=0.0, max_iter=5,
+                 checkpointer=cm, checkpoint_every=2)
+        meta = cm.meta().orderBy("iteration").collect()
+        assert [r["iteration"] for r in meta] == [2, 4]
+        assert cm.last_complete() == 4
+        cm2 = CheckpointManager(spark, ckdir, "pagerank")
+        s2 = PageRankStats()
+        resumed = pagerank(edges_df(spark, pairs), tol=0.0, max_iter=8,
+                           checkpointer=cm2, resume=True, stats=s2,
+                           checkpoint_every=2)
+        assert s2.resumed_from == 4 and s2.iterations == 8
+        full = pagerank(edges_df(spark, pairs), tol=0.0, max_iter=8)
+        diff = (
+            resumed.withColumnRenamed("rank", "r2")
+            .join(full, "id")
+            .agg(F.max(F.abs(F.col("rank") - F.col("r2"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        assert diff < 1e-15

@@ -30,7 +30,9 @@ from rad_ecg_spark.sources.synth_graph import synth_edges
 from rad_ecg_spark.operators.pagerank import pagerank, PageRankStats
 
 cpus, n_edges, max_iter, parts = (int(a) for a in sys.argv[1:5])
-with_ckpt = sys.argv[5] == "ckpt"
+mode = sys.argv[5]  # plain | ckpt | ckpt_async | ckpt_every5 | ckpt_async_every5
+with_ckpt = mode != "plain"
+every = 5 if mode.endswith("every5") else 1
 spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=parts,
                   extra_conf={"spark.ui.showConsoleProgress": "false",
                               "spark.driver.memory": "24g"})
@@ -42,18 +44,19 @@ ckpt = None
 if with_ckpt:
     ckpt_dir = tempfile.mkdtemp(prefix="conv-ckpt-")
     from rad_ecg_spark.plans.checkpoint import CheckpointManager
-    ckpt = CheckpointManager(spark, ckpt_dir, "pagerank")
+    ckpt = CheckpointManager(spark, ckpt_dir, "pagerank",
+                             async_write="async" in mode)
 st = PageRankStats()
 t0 = time.monotonic()
 ranks = pagerank(edges, tol=1e-6, max_iter=max_iter, num_partitions=parts,
-                 stats=st, checkpointer=ckpt)
+                 stats=st, checkpointer=ckpt, checkpoint_every=every)
 n = ranks.count()
 wall = time.monotonic() - t0
 half = sorted(st.iter_wall_s[len(st.iter_wall_s)//2:])
 if ckpt_dir:
     shutil.rmtree(ckpt_dir, ignore_errors=True)
 print("RESULT " + json.dumps({
-    "config": "ckpt" if with_ckpt else "plain",
+    "config": mode,
     "cpus": cpus, "edges": st.num_edges, "vertices": n,
     "iterations": st.iterations, "converged": st.converged,
     "total_wall_s": round(wall, 1), "setup_s": round(st.setup_wall_s, 2),
@@ -86,21 +89,28 @@ def main() -> None:
     from rad_ecg_spark.operators.graph_core import EDGE_ROWS_PER_PARTITION
 
     parts = max(2, n_edges // EDGE_ROWS_PER_PARTITION)
-    plain = run_once(n_cpus, n_edges, max_iter, parts, "plain")
-    print(json.dumps(plain), flush=True)
-    ckpt = run_once(n_cpus, n_edges, max_iter, parts, "ckpt")
-    print(json.dumps(ckpt), flush=True)
-    overhead = ckpt["median_steady_iter_s"] - plain["median_steady_iter_s"]
-    print(json.dumps({
-        "summary": {
+    modes = (sys.argv[4].split(",") if len(sys.argv) > 4
+             else ["plain", "ckpt", "ckpt_async", "ckpt_every5"])
+    results = {}
+    for mode in modes:
+        results[mode] = run_once(n_cpus, n_edges, max_iter, parts, mode)
+        print(json.dumps(results[mode]), flush=True)
+    plain = results.get("plain")
+    if plain:
+        summary = {
             "edges": plain["edges"], "partitions": parts, "cpus": n_cpus,
             "iterations_to_1e-6": plain["iterations"],
-            "converged": plain["converged"] and ckpt["converged"],
+            "converged": all(r["converged"] for r in results.values()),
             "total_wall_plain_s": plain["total_wall_s"],
-            "total_wall_ckpt_s": ckpt["total_wall_s"],
-            "ckpt_overhead_per_iter_s_median_basis": round(overhead, 3),
         }
-    }))
+        for mode, r in results.items():
+            if mode == "plain":
+                continue
+            summary[f"total_wall_{mode}_s"] = r["total_wall_s"]
+            summary[f"{mode}_vs_plain"] = round(
+                r["total_wall_s"] / plain["total_wall_s"], 2
+            )
+        print(json.dumps({"summary": summary}))
 
 
 if __name__ == "__main__":
