@@ -36,6 +36,15 @@ def main() -> None:
         "--partwise", action="store_true",
         help="per-partition idempotent snapshots (mid-iteration resume)",
     )
+    ap.add_argument(
+        "--checkpoint-every", type=int, default=1,
+        help="durable snapshot every N iterations (resume granularity "
+             "tradeoff; N=5 is measured free vs plain at 10M edges)",
+    )
+    ap.add_argument(
+        "--async-checkpoint", action="store_true",
+        help="overlap the durable snapshot with the next iteration",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -63,7 +72,10 @@ def main() -> None:
 
         ck = PartwiseCheckpointManager(spark, args.checkpoint_dir, "pagerank")
     elif args.checkpoint_dir:
-        ck = CheckpointManager(spark, args.checkpoint_dir, "pagerank")
+        ck = CheckpointManager(
+            spark, args.checkpoint_dir, "pagerank",
+            async_write=args.async_checkpoint,
+        )
     else:
         ck = None
     stats = PageRankStats()
@@ -74,6 +86,7 @@ def main() -> None:
         max_iter=args.max_iter,
         num_partitions=args.partitions,
         checkpointer=ck,
+        checkpoint_every=args.checkpoint_every,
         resume=args.resume,
         stats=stats,
         hub_degree_threshold=args.hub_degree_threshold,

@@ -58,9 +58,13 @@ class CheckpointManager:
         one first), so meta rows land in iteration order;
       - callers that free superseded state blocks (localCheckpoint) must
         call wait() first — the iterative loops in operators/ do.
-    Measured at 10M edges (BENCH/BASELINE.md round-4): sync per-iteration
-    checkpointing cost 3.9x plain convergence wall; async brings it to
-    ~1.2x because the parquet write hides behind the next iteration.
+    Measured at 10M edges to 1e-6 convergence (BENCH/BASELINE.md
+    round-4): the round-3 protocol (meta row via a coalesce(1) Spark
+    job) cost 3.9x the plain wall; replacing that one-row job with the
+    driver-side pyarrow append (_append_meta_row) brings SYNC
+    per-iteration checkpointing to 1.15x plain, async to 1.07x and
+    checkpoint_every=5 to 1.10x — i.e. durable per-iteration lineage is
+    now within noise of free at bench scale.
     """
 
     def __init__(
@@ -127,11 +131,41 @@ class CheckpointManager:
         wall_ms: int,
     ) -> None:
         state.write.mode("overwrite").parquet(self._state_dir(iteration))
-        meta = self.spark.createDataFrame(
-            [(self.algo, iteration, rows, float(agg_value), float(delta_max), wall_ms, "complete")],
-            META_SCHEMA,
+        self._append_meta_row(iteration, rows, agg_value, delta_max, wall_ms)
+
+    def _append_meta_row(
+        self, iteration: int, rows: int, agg_value: float, delta_max: float, wall_ms: int
+    ) -> None:
+        """Append ONE lineage row. Driver-side pyarrow write, not a Spark
+        job: ``meta.coalesce(1).write`` costs a full job (~2-3 s of pure
+        scheduling per iteration — measured, BENCH/BASELINE.md round-4)
+        to move one row; an Iceberg catalog commit is likewise a
+        driver/catalog-side metadata operation (plans/catalog.py maps
+        this call to the snapshot-commit API). Arrow types mirror
+        META_SCHEMA exactly so spark.read.parquet sees one schema across
+        engine- and driver-written files."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._meta_dir(), exist_ok=True)
+        table = pa.table(
+            {
+                "algo": pa.array([self.algo], pa.string()),
+                "iteration": pa.array([iteration], pa.int32()),
+                "rows": pa.array([rows], pa.int64()),
+                "agg_value": pa.array([float(agg_value)], pa.float64()),
+                "delta_max": pa.array([float(delta_max)], pa.float64()),
+                "wall_ms": pa.array([wall_ms], pa.int64()),
+                "status": pa.array(["complete"], pa.string()),
+            }
         )
-        meta.coalesce(1).write.mode("append").parquet(self._meta_dir())
+        # unique filename: concurrent algos/retries never clobber a row
+        path = os.path.join(
+            self._meta_dir(), f"meta-{iteration:06d}-{uuid.uuid4().hex}.parquet"
+        )
+        pq.write_table(table, path)
 
     def last_complete(self) -> int | None:
         """Max complete iteration, or None if no checkpoint exists.
