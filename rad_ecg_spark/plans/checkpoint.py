@@ -143,13 +143,15 @@ class CheckpointManager:
         driver/catalog-side metadata operation (plans/catalog.py maps
         this call to the snapshot-commit API). Arrow types mirror
         META_SCHEMA exactly so spark.read.parquet sees one schema across
-        engine- and driver-written files."""
+        engine- and driver-written files. Object-store roots (gs://,
+        s3://) resolve through pyarrow's FileSystem.from_uri, the same
+        driver-side path an Iceberg catalog commit takes; local paths
+        use the local FS."""
         import uuid
 
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        os.makedirs(self._meta_dir(), exist_ok=True)
         table = pa.table(
             {
                 "algo": pa.array([self.algo], pa.string()),
@@ -162,10 +164,17 @@ class CheckpointManager:
             }
         )
         # unique filename: concurrent algos/retries never clobber a row
-        path = os.path.join(
-            self._meta_dir(), f"meta-{iteration:06d}-{uuid.uuid4().hex}.parquet"
-        )
-        pq.write_table(table, path)
+        fname = f"meta-{iteration:06d}-{uuid.uuid4().hex}.parquet"
+        meta_dir = self._meta_dir()
+        if "://" in meta_dir:
+            from pyarrow import fs as pafs
+
+            filesystem, base = pafs.FileSystem.from_uri(meta_dir)
+            filesystem.create_dir(base, recursive=True)
+            pq.write_table(table, f"{base}/{fname}", filesystem=filesystem)
+        else:
+            os.makedirs(meta_dir, exist_ok=True)
+            pq.write_table(table, os.path.join(meta_dir, fname))
 
     def last_complete(self) -> int | None:
         """Max complete iteration, or None if no checkpoint exists.
