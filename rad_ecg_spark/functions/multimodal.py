@@ -2,12 +2,14 @@
 pipelines.
 
 Modality payloads are opaque ``binary`` columns with typed metadata
-structs. The codecs here are REAL, dependency-free decoders for the two
-formats the synthetic corpus uses — 24-bit uncompressed BMP and 16-bit
-PCM WAV — implemented with struct/numpy only (this container ships no
-Pillow/ffmpeg). Formats beyond those raise NotImplementedError at the
-exact call site where the external decoder would plug in
-(``decode_backend="pil"``/"ffmpeg"), with identical Arrow plumbing.
+structs. The codecs here are REAL, dependency-free decoders for the
+three formats the synthetic corpus uses — 24-bit uncompressed BMP
+(image), 16-bit PCM WAV (audio) and Y4M/YUV4MPEG2 Cmono (video) —
+implemented with struct/numpy only (this container ships no
+Pillow/ffmpeg). Compressed formats beyond those raise
+NotImplementedError at the exact call site where the external decoder
+would plug in (``decode_backend="pil"``/"ffmpeg"), with identical
+Arrow plumbing.
 
 Scale notes: payload rows are large (KB-MB each), so these operators
 key their repartitioning on BYTE budget, not row count —
@@ -137,7 +139,7 @@ def wav_decode(b: bytes) -> tuple[int, np.ndarray]:
 def synth_media(spark, n: int, kind: str = "image", partitions: int = 4) -> DataFrame:
     """Deterministic synthetic media table with REAL payload encodings:
     16x16 24-bit BMPs for images, 1600-sample 16 kHz PCM WAVs for audio,
-    hash-seeded opaque bytes for video (codec plumbing only)."""
+    and 24-frame 16x16 Y4M (YUV4MPEG2 Cmono) clips for video."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -150,9 +152,11 @@ def synth_media(spark, n: int, kind: str = "image", partitions: int = 4) -> Data
                 elif kind == "audio":
                     s = (rng.integers(-2000, 2000, size=1600)).astype(np.int16)
                     rows.append((rid, kind, wav_encode(s, 16000), (0, 0, 16000, 0, "pcm16")))
-                else:  # video: opaque payload, real metadata plumbing
-                    payload = hashlib.sha256(f"media{rid}".encode()).digest() * 32
-                    rows.append((rid, kind, payload, (64, 64, 16000, 1, "fake")))
+                else:  # video: real Y4M container (mono luma planes)
+                    frames = rng.integers(0, 256, size=(24, 16, 16), dtype=np.uint8)
+                    rows.append(
+                        (rid, kind, y4m_encode(frames, (25, 1)), (16, 16, 25, 24, "y4m"))
+                    )
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, MEDIA_SCHEMA)
@@ -316,4 +320,118 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
                 F.lit(every_n),
             )
         ).alias("frame_idx"),
+    )
+
+
+# --- Y4M (YUV4MPEG2) video codec -----------------------------------------
+# Public format (mjpegtools YUV4MPEG2 spec): ASCII stream header
+# "YUV4MPEG2 W<w> H<h> F<num>:<den> ... C<cs>\n", then per frame a
+# "FRAME...\n" marker followed by the raw plane bytes. Cmono = one
+# 8-bit luma plane per frame — a real, dependency-free video container
+# (struct/numpy only), closing the codec plug the docstring's
+# NotImplementedError leaves for compressed formats (H.264 etc. still
+# need ffmpeg and still raise at that call site).
+
+def y4m_encode(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """frames: (n_frames, h, w) uint8 luma planes -> Y4M Cmono bytes."""
+    if frames.ndim != 3:
+        raise ValueError(f"frames must be (n, h, w), got {frames.shape}")
+    n, h, w = frames.shape
+    out = bytearray(
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 Cmono\n".encode("ascii")
+    )
+    for f in np.ascontiguousarray(frames, dtype=np.uint8):
+        out += b"FRAME\n"
+        out += f.tobytes()
+    return bytes(out)
+
+
+def y4m_decode(payload: bytes) -> tuple[int, int, tuple[int, int], np.ndarray]:
+    """Y4M Cmono bytes -> (w, h, (fps_num, fps_den), frames (n, h, w))."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    num, den = 25, 1
+    cs = "420"  # spec default when no C tag present
+    for tok in payload[9:nl].split():
+        tag, val = tok[:1], tok[1:].decode("ascii", "replace")
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num, den = (int(x) for x in val.split(":"))
+        elif tag == b"C":
+            cs = val
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if cs != "mono":
+        raise ValueError(f"unsupported Y4M colourspace C{cs} (mono only)")
+    fsize = w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        start = fnl + 1
+        if start + fsize > len(payload):
+            raise ValueError("truncated frame payload")
+        frames.append(
+            np.frombuffer(payload, dtype=np.uint8, count=fsize, offset=start)
+            .reshape(h, w)
+        )
+        pos = start + fsize
+    return w, h, (num, den), np.stack(frames) if frames else np.empty((0, h, w), np.uint8)
+
+
+def synth_event_y4m(
+    events: DataFrame, n_ids: int = 24, n_frames: int = 12, h: int = 6, w: int = 8
+) -> DataFrame:
+    """Deterministic planted Y4M fixture keyed off the events table:
+    luma of pixel (f, r, c) in video ``mid`` is a closed-form integer
+    function of (mid, f, r, c), so a SQL oracle reproduces the decoded
+    planes without parsing Y4M — while the Spark path round-trips
+    through the REAL encoder/decoder (same design as synth_event_bmp)."""
+    ids = (
+        events.filter(F.col("event_id") < n_ids)
+        .select(F.col("event_id").alias("media_id"))
+        .distinct()
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        f = np.arange(n_frames, dtype=np.int64)[:, None, None]
+        r = np.arange(h, dtype=np.int64)[None, :, None]
+        c = np.arange(w, dtype=np.int64)[None, None, :]
+        for b in batches:
+            rows = []
+            for mid in b["media_id"].tolist():
+                luma = ((mid * 7 + f * 41 + r * 13 + c * 31) % 256).astype(np.uint8)
+                rows.append((mid, y4m_encode(luma)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return ids.mapInPandas(gen, "media_id long, payload binary")
+
+
+def video_frame_luma(media: DataFrame, every_n: int = 5) -> DataFrame:
+    """payload -> per-SAMPLED-frame exact integer luma sum: the real
+    frame-sampling decode (frames 0, every_n, 2*every_n, ... of each
+    clip), the per-clip work a training pipeline's frame extractor does.
+    Decode runs vectorized inside mapInPandas on Arrow batches of whole
+    payloads; output is exact ints for oracle comparison."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"media_id": [], "frame_idx": [], "luma_sum": []}
+            for mid, p in zip(b["media_id"], b["payload"]):
+                _, _, _, frames = y4m_decode(bytes(p))
+                for fi in range(0, len(frames), every_n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(fi)
+                    out["luma_sum"].append(int(frames[fi].astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, frame_idx int, luma_sum long"
     )

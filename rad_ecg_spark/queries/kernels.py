@@ -119,6 +119,42 @@ SELECT mid AS media_id, CAST(c // {BMP_W // BMP_STRIPS} AS INT) AS strip,
 FROM px GROUP BY 1, 2"""
 
 
+# --- video frame-sampling decode (real Y4M codec) --------------------------
+# Same design as image_luma_profile: a deterministic closed-form pixel
+# fixture keyed off events round-trips through the REAL dependency-free
+# Y4M (YUV4MPEG2 Cmono) encoder/decoder on the Spark side, while the
+# oracle reproduces the decoded planes arithmetically — the codec and the
+# frame-sampling fan-out are both under the value-hash check.
+
+Y4M_IDS, Y4M_FRAMES, Y4M_H, Y4M_W, Y4M_EVERY = 24, 12, 6, 8, 5
+
+
+def q_video_frame_luma(spark, sf_dir):
+    from rad_ecg_spark.functions.multimodal import synth_event_y4m, video_frame_luma
+
+    media = synth_event_y4m(
+        _t(spark, sf_dir, "events"),
+        n_ids=Y4M_IDS, n_frames=Y4M_FRAMES, h=Y4M_H, w=Y4M_W,
+    )
+    return video_frame_luma(media, every_n=Y4M_EVERY)
+
+
+VIDEO_LUMA_ORACLE = f"""
+WITH ids AS (
+  SELECT DISTINCT event_id AS mid FROM events WHERE event_id < {Y4M_IDS}
+), px AS (
+  SELECT mid, f.f AS f, r.r AS r, c.c AS c,
+         (mid * 7 + f.f * 41 + r.r * 13 + c.c * 31) % 256 AS y
+  FROM ids,
+       (SELECT unnest(range(0, {Y4M_FRAMES}, {Y4M_EVERY})) AS f) f,
+       (SELECT unnest(range({Y4M_H})) AS r) r,
+       (SELECT unnest(range({Y4M_W})) AS c) c
+)
+SELECT mid AS media_id, CAST(f AS INT) AS frame_idx,
+       CAST(sum(y) AS BIGINT) AS luma_sum
+FROM px GROUP BY 1, 2"""
+
+
 # --- power transform (Yeo-Johnson pandas UDF) ------------------------------
 # ref: PowerTransformer stage, ml/anomaly/ml_anom.py:798-821
 
@@ -142,6 +178,7 @@ KERNEL_QUERIES = {
     "halo_rolling_median": q_halo_rolling_median,
     "halo_mp_discord": q_halo_mp,
     "image_luma_profile": q_image_luma,
+    "video_frame_luma": q_video_frame_luma,
     "power_transform": q_power_transform,
 }
 
@@ -153,5 +190,6 @@ KERNEL_ORACLES = {
     "halo_rolling_median": _halo_median_oracle(),
     "halo_mp_discord": _halo_mp_oracle(),
     "image_luma_profile": IMAGE_LUMA_ORACLE,
+    "video_frame_luma": VIDEO_LUMA_ORACLE,
     "power_transform": _power_oracle(),
 }
