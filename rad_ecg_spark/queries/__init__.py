@@ -17,8 +17,8 @@ from rad_ecg_spark.queries.textops import TEXT_ORACLES, TEXT_QUERIES
 # Enumeration order matters: the driver's CORRECTNESS artifact holds at
 # most 50 rows and takes queries in registry order, so the kernel
 # queries (never driver-checked in r03 because they enumerated last) go
-# FIRST. After the round-4 consolidation the registry is 49 entries, so
-# every query fits the window regardless — the ordering is belt-and-
+# FIRST. After the round-4 consolidation the registry is exactly 50
+# entries, so every query fits the window — the ordering is belt-and-
 # braces for future additions.
 ALL_QUERIES = {**KERNEL_QUERIES, **TEXT_QUERIES, **GRAPH_QUERIES, **RELATIONAL_QUERIES}
 ALL_ORACLES = {**KERNEL_ORACLES, **TEXT_ORACLES, **GRAPH_ORACLES, **RELATIONAL_ORACLES}
