@@ -495,7 +495,11 @@ def dup_clusters(
         )
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
-    cc = connected_components(verified, method="star")
+    # hybrid = capped hashmin then star-on-contraction: measured 3.7x
+    # faster than pure star on the sf0.01 pair graph (7.6 vs 28.3 s)
+    # and it keeps star's worst-case round bound on chain-shaped
+    # clusters — same default rationale as the registry CC query.
+    cc = connected_components(verified, method="hybrid")
     csize = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return cc.join(csize, "component").select(
         F.col("id").alias(id_col),
