@@ -47,6 +47,8 @@ BENCH_QUERY_NAMES = [
     "halo_mp_discord",
     "ivf_fixed_topk",
     "image_luma_profile",
+    "video_frame_luma",
+    "embedding_neardup",
     "simhash_pairs",
     "cosine_topk",
     "lsh_ann_topk",
