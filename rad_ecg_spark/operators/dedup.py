@@ -122,6 +122,46 @@ def minhash_lsh_candidates(
     )
 
 
+def verify_jaccard_pairs(
+    cand: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """Exact word-set Jaccard verification of candidate pairs (a, b):
+    returns (a, b, inter, uni) for pairs with Jaccard >= num/den.
+
+    Shape: each side of the pair joins its per-doc DISTINCT token ARRAY
+    (one row per doc), and the intersection is a JVM ``array_intersect``
+    per candidate row — NOT a token-explode equi-join. Measured at
+    sf0.1 (10.4M candidates): 5.1 s vs 37.3 s for the explode join,
+    identical output; the explode join materializes |cand| x avg-tokens
+    skinny rows through a shuffle, the array form ships one array per
+    pair side. Result is set-semantics-identical, so the DuckDB oracles
+    (which compute the same intersection relationally) are unaffected.
+    """
+    toks = df.select(
+        F.col(id_col), F.array_distinct(words(F.col(text_col))).alias("_ts")
+    )
+    pa = toks.select(F.col(id_col).alias("a"), F.col("_ts").alias("_tsa"))
+    pb = toks.select(F.col(id_col).alias("b"), F.col("_ts").alias("_tsb"))
+    return (
+        cand.join(pa, "a")
+        .join(pb, "b")
+        .withColumn("inter", F.size(F.array_intersect("_tsa", "_tsb")).cast("long"))
+        .withColumn(
+            "uni",
+            (F.size("_tsa") + F.size("_tsb")).cast("long") - F.col("inter"),
+        )
+        .filter(
+            F.col("inter") * threshold_den >= F.lit(threshold_num) * F.col("uni")
+        )
+        .drop("_tsa", "_tsb")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -148,24 +188,15 @@ def jaccard_pairs(
         .distinct()
         .persist()
     )
+    tok.count()  # materialize: the prefix self-join reads tok 4 ways
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    cand = jaccard_candidates(tok, sizes, id_col, threshold_num, threshold_den)
-    # verify: true intersection over candidate pairs only
-    inter = (
-        cand.join(tok.select(F.col(id_col).alias("a"), "w"), "a")
-        .join(tok.select(F.col(id_col).alias("b"), "w"), ["b", "w"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    out = (
-        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
-        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
-        .withColumn("uni", F.col("sza") + F.col("szb") - F.col("inter"))
-        .filter(
-            F.col("inter") * threshold_den >= F.lit(threshold_num) * F.col("uni")
-        )
-        .select("a", "b", "inter", "uni")
-    )
+    cand = jaccard_candidates(tok, sizes, id_col, threshold_num, threshold_den).persist()
+    cand.count()  # materialize before verify (plan-reuse barrier)
+    # verify: exact intersection over candidate pairs only (array form —
+    # see verify_jaccard_pairs for the measured 7x over an explode join)
+    out = verify_jaccard_pairs(
+        cand, df, text_col, id_col, threshold_num, threshold_den
+    ).select("a", "b", "inter", "uni")
     return out
 
 
@@ -418,28 +449,9 @@ def winnow_verified_pairs(
     cand = winnow_neardup(
         df, k, w, min_shared, max_bucket, text_col, id_col
     )
-    tok = (
-        df.select(id_col, F.explode(words(F.col(text_col))).alias("w"))
-        .distinct()
-        .persist()
-    )
-    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        cand.join(tok.select(F.col(id_col).alias("a"), "w"), "a")
-        .join(tok.select(F.col(id_col).alias("b"), "w"), ["b", "w"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        cand.join(inter, ["a", "b"])
-        .join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
-        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
-        .withColumn("uni", F.col("sza") + F.col("szb") - F.col("inter"))
-        .filter(
-            F.col("inter") * threshold_den >= F.lit(threshold_num) * F.col("uni")
-        )
-        .select("a", "b", "shared", "inter", "uni")
-    )
+    return verify_jaccard_pairs(
+        cand, df, text_col, id_col, threshold_num, threshold_den
+    ).select("a", "b", "shared", "inter", "uni")
 
 
 def dup_clusters(
@@ -472,37 +484,28 @@ def dup_clusters(
     from rad_ecg_spark.operators.components import connected_components
 
     cand = minhash_lsh_candidates(df, text_col, id_col, bands, max_bucket)
-    tok = (
-        df.select(id_col, F.explode(words(F.col(text_col))).alias("w"))
-        .distinct()
+    # PERSIST the verified pair graph before the iterative CC consumes
+    # it: every hashmin/star round re-reads the edge table, and without
+    # a persist each round would recompute the full candidates+verify
+    # chain (measured at sf0.1: 134.6 s -> ~36 s for the whole query).
+    verified = (
+        verify_jaccard_pairs(cand, df, text_col, id_col, threshold_num, threshold_den)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .persist()
     )
-    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        cand.join(tok.select(F.col(id_col).alias("a"), "w"), "a")
-        .join(tok.select(F.col(id_col).alias("b"), "w"), ["b", "w"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    verified = (
-        inter.join(
-            sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a"
-        )
-        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
-        .filter(
-            F.col("inter") * threshold_den
-            >= F.lit(threshold_num) * (F.col("sza") + F.col("szb") - F.col("inter"))
-        )
-        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    )
+    verified.count()
     # hybrid = capped hashmin then star-on-contraction: measured 3.7x
     # faster than pure star on the sf0.01 pair graph (7.6 vs 28.3 s)
     # and it keeps star's worst-case round bound on chain-shaped
     # clusters — same default rationale as the registry CC query.
     cc = connected_components(verified, method="hybrid")
     csize = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return cc.join(csize, "component").select(
+    out = cc.join(csize, "component").select(
         F.col("id").alias(id_col),
         F.col("component").alias("rep"),
         "cluster_size",
     )
+    # cc's per-round state is localCheckpointed (concrete blocks), so the
+    # verified lineage is already truncated and the cache can be freed
+    verified.unpersist()
+    return out
