@@ -23,9 +23,17 @@ from rad_ecg_spark.session import get_spark
 from rad_ecg_spark.sources.synth_graph import synth_edges
 
 algo, cpus, n_edges, parts = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+conf = {"spark.ui.showConsoleProgress": "false",
+        "spark.driver.memory": "48g"}
+if algo == "triangles" and n_edges >= 100_000_000:
+    # the 100M+ wedge stream overruns the tmpfs shuffle dir (shared with
+    # heap + page cache) — big one-shot shuffles go to disk
+    # (BENCH/BASELINE.md round-4 substrate lesson)
+    import os as _os
+    _os.makedirs("/tmp/spark-local-big", exist_ok=True)
+    conf["spark.local.dir"] = "/tmp/spark-local-big"
 spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=parts,
-                  extra_conf={"spark.ui.showConsoleProgress": "false",
-                              "spark.driver.memory": "48g"})
+                  extra_conf=conf)
 spark.sparkContext.setLogLevel("ERROR")
 edges = synth_edges(spark, n_edges, partitions=parts)
 edges.count()  # materialize input before timing
