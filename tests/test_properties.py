@@ -151,3 +151,30 @@ class TestUpsertProperties:
         assert {r[0] for r in once} == set(by_key)
         for k, ts, _v in once:
             assert ts == t0 + dt.timedelta(minutes=max(by_key[k]))
+
+
+class TestY4MCodecProperty:
+    """Round-trip property for the dependency-free Y4M video codec: any
+    frame stack encodes to a stream that decodes back bit-exactly with
+    the original dims and fps (no Spark needed — pure codec)."""
+
+    @given(
+        n=st.integers(min_value=0, max_value=6),
+        h=st.integers(min_value=1, max_value=12),
+        w=st.integers(min_value=1, max_value=12),
+        num=st.integers(min_value=1, max_value=120),
+        den=st.integers(min_value=1, max_value=4),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_roundtrip(self, n, h, w, num, den, seed):
+        import numpy as np
+
+        from rad_ecg_spark.functions.multimodal import y4m_decode, y4m_encode
+
+        rng = np.random.default_rng(seed)
+        frames = rng.integers(0, 256, size=(n, h, w), dtype=np.uint8)
+        gw, gh, fps, got = y4m_decode(y4m_encode(frames, (num, den)))
+        assert (gw, gh, fps) == (w, h, (num, den))
+        assert got.shape == frames.shape
+        assert np.array_equal(got, frames)
