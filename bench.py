@@ -1,5 +1,15 @@
-"""Benchmark runner. Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""Benchmark runner. The LAST stdout line is ONE compact JSON object:
+{"metric": ..., "value": N, "unit": ..., "queries": {...}, "sf": ...}
+
+The compact line stays small BY CONSTRUCTION: the driver that records
+it tail-captures a bounded window, and in round 4 the full per-repeat
+iteration traces pushed the single line past that window, truncating
+the front (metric/value) out of the committed artifact
+(BENCH_r04.json "parsed": null). The bulky self-diagnosing detail
+(every PageRank repeat's full iteration trace, every query's repeat
+list) now goes to a separate file — $BENCH_DETAIL_OUT, default
+BENCH/detail_latest.json next to this script — and the compact line
+keeps only the scalars (steady/floor iteration, pages/s, totals).
 
 Headline metric: edges/sec per PageRank iteration on a deterministic
 synthetic graph (default 10M edges — BASELINE.md protocol), plus
@@ -10,6 +20,7 @@ Env knobs:
   SPARK_GRAFT_CPUS     (default 32)
   BENCH_EDGES          (default 10_000_000)
   BENCH_PR_ITERS       (default 5)
+  BENCH_DETAIL_OUT     (default <repo>/BENCH/detail_latest.json)
 """
 
 from __future__ import annotations
@@ -139,6 +150,40 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     total = sum(timings.values())
+    # scalar detail -> compact line; bulky traces -> detail file
+    detail_scalars = {
+        "bench_edges": e_count,
+        "pagerank_iterations": pr_iters,
+        "pagerank_repeats": pr_repeats,
+        "steady_iter_s": round(steady_iter_s, 3),
+        "floor_iter_s": round(floor_iter_s, 3),
+        "edges_per_sec_at_floor_iter": round(n_graph_edges / floor_iter_s),
+        "pages_extracted": n_pages,
+        "edges_extracted": n_extracted,
+        "pages_per_sec": round(n_pages / ext_wall),
+        "total_query_wall_s": round(total, 3),
+        "cpus": cpus,
+    }
+    detail_out = os.environ.get(
+        "BENCH_DETAIL_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH", "detail_latest.json"
+        ),
+    )
+    os.makedirs(os.path.dirname(detail_out), exist_ok=True)
+    with open(detail_out, "w") as f:
+        json.dump(
+            {
+                **detail_scalars,
+                "pagerank_repeat_traces": pr_runs,
+                "query_runs_s": query_runs,
+            },
+            f,
+            indent=2,
+            sort_keys=True,
+        )
+        f.write("\n")
+    # the compact headline MUST be the final stdout line (driver contract)
     print(
         json.dumps(
             {
@@ -147,22 +192,7 @@ def main() -> None:
                 "unit": "edges/sec/iteration",
                 "queries": timings,
                 "sf": sf,
-                "detail": {
-                    "bench_edges": e_count,
-                    "pagerank_iterations": pr_iters,
-                    "pagerank_repeats": pr_runs,
-                    "steady_iter_s": round(steady_iter_s, 3),
-                    "floor_iter_s": round(floor_iter_s, 3),
-                    "edges_per_sec_at_floor_iter": round(
-                        n_graph_edges / floor_iter_s
-                    ),
-                    "pages_extracted": n_pages,
-                    "edges_extracted": n_extracted,
-                    "pages_per_sec": round(n_pages / ext_wall),
-                    "query_runs_s": query_runs,
-                    "total_query_wall_s": round(total, 3),
-                    "cpus": cpus,
-                },
+                "detail": {**detail_scalars, "detail_file": detail_out},
             }
         )
     )

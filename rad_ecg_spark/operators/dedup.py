@@ -193,10 +193,22 @@ def jaccard_pairs(
     cand = jaccard_candidates(tok, sizes, id_col, threshold_num, threshold_den).persist()
     cand.count()  # materialize before verify (plan-reuse barrier)
     # verify: exact intersection over candidate pairs only (array form —
-    # see verify_jaccard_pairs for the measured 7x over an explode join)
-    out = verify_jaccard_pairs(
-        cand, df, text_col, id_col, threshold_num, threshold_den
-    ).select("a", "b", "inter", "uni")
+    # see verify_jaccard_pairs for the measured 7x over an explode join).
+    # Eager localCheckpoint: materializes the (small) verified pair set
+    # ONCE and cuts its lineage off tok/cand, so both intermediate
+    # caches can be freed HERE instead of leaking a pair of persisted
+    # tables per call in a long-lived driver (the block-accumulation
+    # slowdown operators/components.py documents). The checkpoint's own
+    # blocks are RDD-backed, so the ContextCleaner reclaims them when
+    # the returned DataFrame is garbage collected — unlike CacheManager
+    # entries, which live until an explicit unpersist.
+    out = (
+        verify_jaccard_pairs(cand, df, text_col, id_col, threshold_num, threshold_den)
+        .select("a", "b", "inter", "uni")
+        .localCheckpoint(eager=True)
+    )
+    cand.unpersist()
+    tok.unpersist()
     return out
 
 

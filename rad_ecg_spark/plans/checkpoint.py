@@ -74,14 +74,15 @@ class CheckpointManager:
         self.root = root
         self.algo = algo
         self._t0 = time.monotonic()
-        self._executor = None
-        self._pending = None
-        if async_write:
-            from concurrent.futures import ThreadPoolExecutor
-
-            self._executor = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix=f"ckpt-{algo}"
-            )
+        self._async = async_write
+        # async worker: ONE daemon thread per in-flight commit (never
+        # more than one — commit() drains the previous first). Daemon,
+        # so a loop that raises before wait() can't leave a non-daemon
+        # writer pinning interpreter exit; a commit cut off at exit
+        # leaves a torn state dir without its acknowledging _meta row,
+        # which the crash-safe resume protocol already treats as
+        # not-committed (module docstring).
+        self._pending: tuple | None = None  # (thread, [exception])
 
     def _state_dir(self, iteration: int) -> str:
         return os.path.join(self.root, self.algo, "state", f"iteration={iteration}")
@@ -99,27 +100,54 @@ class CheckpointManager:
     ) -> None:
         wall_ms = int((time.monotonic() - self._t0) * 1000)
         self._t0 = time.monotonic()
-        if self._executor is None:
+        if not self._async:
             self._commit_sync(iteration, state, rows, agg_value, delta_max, wall_ms)
         else:
+            import threading
+
             self.wait()  # <=1 in flight; propagate a failed prior commit
-            self._pending = self._executor.submit(
-                self._commit_sync,
-                iteration,
-                state,
-                rows,
-                agg_value,
-                delta_max,
-                wall_ms,
+            errs: list[BaseException] = []
+
+            def _run() -> None:
+                try:
+                    self._commit_sync(
+                        iteration, state, rows, agg_value, delta_max, wall_ms
+                    )
+                except BaseException as e:  # surfaced by the next wait()
+                    errs.append(e)
+
+            t = threading.Thread(
+                target=_run, name=f"ckpt-{self.algo}-{iteration}", daemon=True
             )
+            t.start()
+            self._pending = (t, errs)
 
     def wait(self) -> None:
         """Block until the in-flight async commit (if any) has landed.
         MUST be called before freeing the committed state's blocks and
-        before reading _meta for convergence bookkeeping."""
+        before reading _meta for convergence bookkeeping. Re-raises a
+        failed background commit."""
         if self._pending is not None:
-            pending, self._pending = self._pending, None
-            pending.result()
+            (thread, errs), self._pending = self._pending, None
+            thread.join()
+            if errs:
+                raise errs[0]
+
+    def close(self) -> None:
+        """Drain the in-flight commit (if any). Safe to call twice;
+        use as a context manager for exception-path cleanup."""
+        self.wait()
+
+    def __enter__(self) -> "CheckpointManager":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        # don't mask an in-flight exception with a commit failure
+        try:
+            self.close()
+        except Exception:
+            if exc == (None, None, None):
+                raise
 
     def _commit_sync(
         self,

@@ -51,7 +51,15 @@ def dedup_pages(
     # (exact_dedup's rule) before the more expensive near-dup machinery
     # sees the corpus. groupBy(fp) gets map-side partial aggregation, so
     # a mega-cluster of identical boilerplate reduces before the shuffle.
-    with_fp = pages.select("url", fingerprint(F.col("text")).alias("fp"))
+    # NULL text is fingerprinted as empty text: fingerprint(NULL) is
+    # NULL, and a NULL fp would fall out of the equi-joins below (null
+    # != null), silently dropping the page from rep_map and breaking
+    # the every-url contract. Collapsing NULL with '' is deliberate —
+    # both carry zero extractable text, and the near-dup stage already
+    # treats them identically (no tokens).
+    with_fp = pages.select(
+        "url", fingerprint(F.coalesce(F.col("text"), F.lit(""))).alias("fp")
+    )
     exact_reps = with_fp.groupBy("fp").agg(F.min("url").alias("exact_rep"))
     exact_map = with_fp.join(exact_reps, "fp").select("url", "exact_rep")
     exact_kept = pages.join(
@@ -124,19 +132,30 @@ def run_pipeline(
     verify_extract: bool = False,
 ) -> dict:
     """Run the full pipeline; returns a summary dict (also written to
-    ``<out_dir>/summary.json``)."""
+    ``<out_dir>/summary.json``). ``summary["stage_wall_s"]`` carries
+    per-stage wall-clock so a bench-scale run is self-reporting."""
     import json
     import os
+    import time
 
     from rad_ecg_spark.functions.extract import text_invariant_violations
 
     summary: dict = {}
+    walls: dict[str, float] = {}
+    t_total = time.monotonic()
+
+    def _stage(name: str, t0: float) -> None:
+        walls[name] = round(time.monotonic() - t0, 3)
+
     if verify_extract:
+        t0 = time.monotonic()
         bad = text_invariant_violations(pages).count()
         summary["extract_violations"] = bad
+        _stage("verify_extract", t0)
         if bad:
             raise RuntimeError(f"{bad} pages fail the byte-exact text invariant")
 
+    t0 = time.monotonic()
     n_pages = pages.count()
     kept, rep_map = dedup_pages(pages)
     kept = kept.persist()
@@ -144,50 +163,75 @@ def run_pipeline(
     n_kept = kept.count()
     summary.update({"pages": n_pages, "kept_after_dedup": n_kept})
     rep_map.write.mode("overwrite").parquet(os.path.join(out_dir, "rep_map"))
+    _stage("dedup", t0)
 
+    t0 = time.monotonic()
     edges = build_graph(pages, rep_map).persist()
     summary["edges"] = edges.count()
+    _stage("extract_build_graph", t0)
 
     if "pagerank" in algos:
         from rad_ecg_spark.operators.pagerank import PageRankStats, pagerank
         from rad_ecg_spark.plans.checkpoint import CheckpointManager
 
+        t0 = time.monotonic()
         ck = (
             CheckpointManager(spark, checkpoint_dir, "pagerank", async_write=True)
             if checkpoint_dir
             else None
         )
-        st = PageRankStats()
-        ranks = pagerank(
-            edges, tol=tol, max_iter=max_iter, checkpointer=ck,
-            resume=resume, stats=st,
-        )
-        ranks.write.mode("overwrite").parquet(os.path.join(out_dir, "pagerank"))
+        try:
+            st = PageRankStats()
+            ranks = pagerank(
+                edges, tol=tol, max_iter=max_iter, checkpointer=ck,
+                resume=resume, stats=st,
+            )
+            ranks.write.mode("overwrite").parquet(os.path.join(out_dir, "pagerank"))
+        finally:
+            if ck is not None:
+                ck.close()  # drain an in-flight async commit, even on error
         summary["pagerank"] = {
             "iterations": st.iterations,
             "converged": st.converged,
             "vertices": st.num_vertices,
+            "resumed_from": st.resumed_from,
         }
+        _stage("pagerank", t0)
     if "components" in algos:
         from rad_ecg_spark.operators.components import connected_components
 
+        t0 = time.monotonic()
         cc = connected_components(edges, method="hybrid")
         cc.write.mode("overwrite").parquet(os.path.join(out_dir, "components"))
         summary["components"] = cc.select("component").distinct().count()
+        _stage("components", t0)
     if "labelprop" in algos:
-        from rad_ecg_spark.operators.labelprop import label_propagation
+        from rad_ecg_spark.operators.labelprop import LabelPropStats, label_propagation
 
-        lp = label_propagation(edges, max_iter=min(max_iter, 30))
+        t0 = time.monotonic()
+        lst = LabelPropStats()
+        lp = label_propagation(edges, max_iter=min(max_iter, 30), stats=lst)
         lp.write.mode("overwrite").parquet(os.path.join(out_dir, "labels"))
+        # a capped, non-converged LP run must be visible in the summary,
+        # not silently reported like a converged one
         summary["labels"] = lp.select("label").distinct().count()
+        summary["labelprop"] = {
+            "iterations": lst.iterations,
+            "converged": lst.converged,
+        }
+        _stage("labelprop", t0)
     if "triangles" in algos:
         from rad_ecg_spark.operators.triangles import triangle_count
 
+        t0 = time.monotonic()
         summary["triangles"] = triangle_count(edges)
+        _stage("triangles", t0)
 
     kept.unpersist()
     rep_map.unpersist()
     edges.unpersist()
+    walls["total"] = round(time.monotonic() - t_total, 3)
+    summary["stage_wall_s"] = walls
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2, sort_keys=True)

@@ -125,3 +125,41 @@ class TestCheckpointResume:
             .collect()[0]["d"]
         )
         assert diff < 1e-15
+
+    def test_async_worker_is_daemon_and_close_drains(self, spark, tmp_path):
+        """The async commit thread must be a daemon (a loop that raises
+        before wait() cannot pin interpreter exit on a non-daemon
+        writer), close() must drain it, and a failed background commit
+        must surface on the next wait()."""
+        import threading
+
+        from rad_ecg_spark.plans.checkpoint import CheckpointManager
+
+        cm = CheckpointManager(spark, str(tmp_path / "ckd"), "pagerank",
+                               async_write=True)
+        state = spark.range(0, 10).select(
+            F.col("id"), F.lit(0.1).alias("rank")
+        )
+        cm.commit(iteration=1, state=state, rows=10, agg_value=1.0,
+                  delta_max=0.5)
+        thread, _ = cm._pending
+        assert isinstance(thread, threading.Thread) and thread.daemon
+        with cm:  # __exit__ -> close() -> wait()
+            pass
+        assert cm._pending is None
+        assert cm.last_complete() == 1
+        cm.close()  # idempotent
+
+        # a background failure is re-raised by the NEXT wait(), not lost
+        bad = CheckpointManager(spark, str(tmp_path / "ckd"), "pagerank",
+                                async_write=True)
+        broken = spark.range(0, 5).select(
+            F.col("id"), (F.lit(1) / F.col("id")).alias("rank")
+        )
+        bad._state_dir = lambda it: "/proc/forbidden/cannot/write/here"
+        bad.commit(iteration=2, state=broken, rows=5, agg_value=1.0,
+                   delta_max=0.1)
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            bad.wait()

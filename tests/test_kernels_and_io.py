@@ -98,6 +98,42 @@ class TestSkewAwarePageRank:
         assert base.keys() == split.keys()
         assert all(abs(base[k] - split[k]) < 1e-12 for k in base)
 
+    def test_powerlaw_synth_is_skewed_deterministic_and_split_exact(self, spark):
+        """src_skew='powerlaw' plants a genuine out-degree hot spot (the
+        top source owns >3% of edges at alpha=6), the table is identical
+        at any requested parallelism, and the hub-split PageRank stays
+        1e-12-equal to the unsplit plan on it — the small-scale twin of
+        the 50M-edge headroom run in BENCH/BASELINE.md."""
+        from rad_ecg_spark.operators.pagerank import pagerank
+        from rad_ecg_spark.sources.synth_graph import synth_edges
+
+        n_edges = 200_000
+        e4 = synth_edges(spark, n_edges, partitions=4, src_skew="powerlaw")
+        e16 = synth_edges(spark, n_edges, partitions=16, src_skew="powerlaw")
+        assert e4.exceptAll(e16).count() == 0 and e16.exceptAll(e4).count() == 0
+
+        top = (
+            e4.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .orderBy(F.desc("d"))
+            .limit(1)
+            .collect()[0]
+        )
+        n_actual = e4.count()
+        assert top["d"] / n_actual > 0.03, "powerlaw mode must plant a hot source"
+
+        base = {
+            r["id"]: r["rank"] for r in pagerank(e4, tol=0.0, max_iter=3).collect()
+        }
+        split = {
+            r["id"]: r["rank"]
+            for r in pagerank(
+                e4, tol=0.0, max_iter=3, hub_degree_threshold=500
+            ).collect()
+        }
+        assert base.keys() == split.keys()
+        assert all(abs(base[k] - split[k]) < 1e-12 for k in base)
+
     def test_salted_join_matches_plain_join(self, spark):
         from rad_ecg_spark.operators.skew import salted_join
 

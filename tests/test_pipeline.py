@@ -110,3 +110,61 @@ class TestRunPipeline:
         ranks = spark.read.parquet(os.path.join(out, "pagerank"))
         mass = ranks.agg(F.sum("rank")).collect()[0][0]
         assert abs(mass - 1.0) < 1e-9
+
+
+class TestPipelineRound5:
+    def test_null_text_pages_stay_in_rep_map(self, spark):
+        """A NULL-text page must not fall out of rep_map (null fp !=
+        null fp would drop it from every equi-join); NULL collapses
+        with empty text by design."""
+        from pyspark.sql import types as T
+
+        pages = generate_pages(spark, 2, 5)
+        extra = spark.createDataFrame(
+            [
+                ("https://nulltext.example/a", None, None, None, "en"),
+                ("https://nulltext.example/b", None, None, "", "en"),
+            ],
+            T.StructType(
+                [
+                    T.StructField("url", T.StringType()),
+                    T.StructField("warc_ts", T.TimestampType()),
+                    T.StructField("html", T.BinaryType()),
+                    T.StructField("text", T.StringType()),
+                    T.StructField("lang", T.StringType()),
+                ]
+            ),
+        )
+        both = pages.unionByName(extra)
+        kept, rep_map = dedup_pages(both)
+        assert rep_map.count() == both.count()
+        covered = {
+            r["url"]
+            for r in rep_map.filter(
+                F.col("url").contains("nulltext")
+            ).collect()
+        }
+        assert covered == {
+            "https://nulltext.example/a",
+            "https://nulltext.example/b",
+        }
+        # NULL text and empty text share one representative (documented)
+        reps = {
+            r["rep"]
+            for r in rep_map.filter(F.col("url").contains("nulltext")).collect()
+        }
+        assert len(reps) == 1
+
+    def test_summary_reports_stage_walls_and_lp_convergence(self, spark, tmp_path):
+        both, _ = _pages_with_mirrors(spark, n_sites=3, per_site=6)
+        out = str(tmp_path / "out5")
+        summary = run_pipeline(spark, both, out, max_iter=12)
+        walls = summary["stage_wall_s"]
+        for stage in (
+            "dedup", "extract_build_graph", "pagerank", "components",
+            "labelprop", "triangles", "total",
+        ):
+            assert walls[stage] >= 0.0, stage
+        assert summary["labelprop"]["iterations"] >= 1
+        assert isinstance(summary["labelprop"]["converged"], bool)
+        assert summary["pagerank"]["resumed_from"] is None
