@@ -499,7 +499,11 @@ def dup_clusters(
     # PERSIST the verified pair graph before the iterative CC consumes
     # it: every hashmin/star round re-reads the edge table, and without
     # a persist each round would recompute the full candidates+verify
-    # chain (measured at sf0.1: 134.6 s -> ~36 s for the whole query).
+    # chain. Protocol-cited number (round 5, sf0.1, local[32], one
+    # quiet session, best of 3): whole query 23.5 s with this persist
+    # vs 134.6 s without it (the round-3 pre-persist measurement);
+    # earlier one-off readings (16.0, ~36, 137.5 s) were single runs
+    # under varying co-tenant load — the best-of-3 is the engine number.
     verified = (
         verify_jaccard_pairs(cand, df, text_col, id_col, threshold_num, threshold_den)
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
