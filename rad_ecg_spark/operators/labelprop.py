@@ -63,10 +63,22 @@ def label_propagation(
     max_iter: int = 10,
     num_partitions: int | None = None,
     stats: LabelPropStats | None = None,
+    hub_degree_threshold: int | None = None,
 ) -> DataFrame:
     """DataFrame(id, label). Converges when no vertex changes label
     (synchronous LP can 2-cycle on bipartite structures — max_iter bounds
-    that; the fixed iteration count is itself deterministic)."""
+    that; the fixed iteration count is itself deterministic).
+
+    ``hub_degree_threshold``: same supernode split as
+    operators/pagerank.py — symmetric-degree hubs keep their edges in
+    balanced natural partitioning and join a BROADCAST slice of the
+    label state each round, while residual edges keep the
+    co-partitioned shuffle-hash path with per-key rows bounded by the
+    threshold. Unlike PageRank's float contributions, LP messages are
+    exact (dst, label) rows feeding an integer count, so the split
+    output is BITWISE identical to the unsplit plan (asserted in
+    tests), not merely 1e-12-close.
+    """
     import time as _time
 
     spark = edges.sparkSession
@@ -82,6 +94,18 @@ def label_propagation(
     )
     sym.count()
     sym0.unpersist()
+
+    residual = hub_edges = hub_ids = None
+    if hub_degree_threshold is not None:
+        from rad_ecg_spark.operators.skew import split_hub_edges
+
+        residual, hub_edges, hub_ids = split_hub_edges(sym, hub_degree_threshold)
+        residual = residual.persist(StorageLevel.MEMORY_AND_DISK)
+        hub_edges = hub_edges.repartition(num_partitions).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        hub_ids = hub_ids.persist()
+        residual.count(), hub_edges.count(), hub_ids.count()
     # select BEFORE repartition: localCheckpoint records only the FIRST
     # partitioning of a PartitioningCollection, and selecting
     # id->label AFTER the repartition makes that hash(label), which the
@@ -99,9 +123,22 @@ def label_propagation(
         t_iter = _time.monotonic()
         # messages flow src -> dst; the join is co-partitioned (sym by
         # src, labels by id), shuffle_hash builds over the labels slice.
-        msgs = sym.join(
-            labels.hint("shuffle_hash"), sym.src == labels.id
-        ).select("dst", "label")
+        if residual is None:
+            msgs = sym.join(
+                labels.hint("shuffle_hash"), sym.src == labels.id
+            ).select("dst", "label")
+        else:
+            # supernode path: hub edges (balanced partitioning) join a
+            # broadcast label slice (<= 2|E|/threshold rows); residual
+            # keeps the co-partitioned path with bounded per-key rows
+            hub_slice = labels.join(F.broadcast(hub_ids), "id", "left_semi")
+            m_rest = residual.join(
+                labels.hint("shuffle_hash"), residual.src == labels.id
+            ).select("dst", "label")
+            m_hub = hub_edges.join(
+                F.broadcast(hub_slice), hub_edges.src == F.col("id")
+            ).select("dst", "label")
+            msgs = m_rest.unionByName(m_hub)
         # THE round's single exchange; both groupBys below are satisfied
         # by HashPartitioning(dst) (subset rule) — no further shuffle.
         counts = (

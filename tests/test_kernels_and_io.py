@@ -134,6 +134,28 @@ class TestSkewAwarePageRank:
         assert base.keys() == split.keys()
         assert all(abs(base[k] - split[k]) < 1e-12 for k in base)
 
+    def test_labelprop_hub_split_is_bitwise_identical(self, spark):
+        """LP's supernode split must be BITWISE identical to the unsplit
+        plan (messages are exact (dst, label) rows into an integer
+        count — no float reordering), including per-round change
+        counts."""
+        from rad_ecg_spark.operators.labelprop import (
+            LabelPropStats,
+            label_propagation,
+        )
+        from rad_ecg_spark.sources.synth_graph import synth_edges
+
+        e = synth_edges(spark, 100_000, partitions=4, src_skew="powerlaw")
+        s1, s2 = LabelPropStats(), LabelPropStats()
+        base = label_propagation(e, max_iter=4, stats=s1)
+        split = label_propagation(
+            e, max_iter=4, stats=s2, hub_degree_threshold=500
+        )
+        d = base.withColumnRenamed("label", "l2").join(split, "id")
+        assert d.count() == base.count()
+        assert d.filter(F.col("label") != F.col("l2")).count() == 0
+        assert s1.changes == s2.changes
+
     def test_salted_join_matches_plain_join(self, spark):
         from rad_ecg_spark.operators.skew import salted_join
 
