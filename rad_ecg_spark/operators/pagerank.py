@@ -91,10 +91,23 @@ def pagerank(
     stats: PageRankStats | None = None,
     dedupe_edges: bool = True,
     hub_degree_threshold: int | None = None,
+    tol_mode: str = "abs",
 ) -> DataFrame:
     """Returns DataFrame(id, rank). ``edges`` needs columns src, dst.
 
     Ranks sum to 1.0 at every iteration (dangling mass redistributed).
+
+    ``tol_mode``: convergence criterion for ``tol``.
+      - ``"abs"`` (default): max_v |rank_{k+1}(v) - rank_k(v)| < tol.
+        Mechanically EASIER as the graph grows — with rank mass 1 over
+        n vertices, per-vertex ranks are themselves ~1/n, so at n=1e6
+        the absolute 1e-6 bar sits at the scale of the ranks.
+      - ``"rel"``: the scale-invariant form — converged when the max
+        delta is below ``tol`` RELATIVE to the uniform rank 1/n, i.e.
+        effective absolute tolerance tol/n. This is the honest
+        "iterations-to-1e-6" at bench scale and beyond (measured: 18
+        iterations vs abs-mode's 7 at 10M edges / 1M vertices —
+        BENCH/BASELINE.md 'Convergence benchmark').
 
     ``hub_degree_threshold``: when set, src vertices with out-degree >=
     threshold take the supernode path (operators/skew.py) — their edges
@@ -108,6 +121,8 @@ def pagerank(
     """
     import time as _time
 
+    if tol_mode not in ("abs", "rel"):
+        raise ValueError(f"tol_mode must be 'abs' or 'rel', got {tol_mode!r}")
     t_setup = _time.monotonic()
     spark = edges.sparkSession
     if stats is None:
@@ -190,6 +205,9 @@ def pagerank(
 
     d = float(damping)
     base = (1.0 - d) / n
+    # resolve the criterion once n is known; the loop compares against
+    # an absolute threshold either way
+    eff_tol = float(tol) if tol_mode == "abs" else float(tol) / n
     stats.setup_wall_s = _time.monotonic() - t_setup
     with pinned_loop_conf(spark):
         for it in range(start_iter, max_iter):
@@ -268,7 +286,7 @@ def pagerank(
                     agg_value=float(row["mass"]),
                     delta_max=delta,
                 )
-            if delta < tol:
+            if delta < eff_tol:
                 stats.converged = True
                 break
 

@@ -13,9 +13,20 @@ import numpy as np
 
 
 def pagerank_oracle(
-    edges: list[tuple], damping: float = 0.85, tol: float = 1e-12, max_iter: int = 1000
-) -> dict:
-    """Power iteration with dangling-mass redistribution, to 1e-12."""
+    edges: list[tuple],
+    damping: float = 0.85,
+    tol: float = 1e-12,
+    max_iter: int = 1000,
+    tol_mode: str = "abs",
+    return_iters: bool = False,
+):
+    """Power iteration with dangling-mass redistribution.
+
+    ``tol_mode="rel"`` mirrors the engine's scale-invariant criterion:
+    effective absolute tolerance tol/n (delta relative to the uniform
+    rank 1/n). ``return_iters=True`` returns (ranks, iterations) so
+    tests can pin the engine's iteration count to the oracle's under
+    the SAME criterion, not just the converged ranks."""
     verts = sorted({u for e in edges for u in e})
     idx = {v: i for i, v in enumerate(verts)}
     n = len(verts)
@@ -23,7 +34,9 @@ def pagerank_oracle(
     for s, d in set(edges):
         if s != d:
             out[idx[s]].append(idx[d])
+    eff_tol = tol if tol_mode == "abs" else tol / n
     r = np.full(n, 1.0 / n)
+    iters = 0
     for _ in range(max_iter):
         nxt = np.zeros(n)
         dangling = 0.0
@@ -36,11 +49,13 @@ def pagerank_oracle(
                 for v in tgts:
                     nxt[v] += w
         nxt = (1 - damping) / n + damping * (nxt + dangling / n)
-        if np.max(np.abs(nxt - r)) < tol:
+        iters += 1
+        if np.max(np.abs(nxt - r)) < eff_tol:
             r = nxt
             break
         r = nxt
-    return {v: float(r[idx[v]]) for v in verts}
+    ranks = {v: float(r[idx[v]]) for v in verts}
+    return (ranks, iters) if return_iters else ranks
 
 
 def components_oracle(edges: list[tuple], extra_vertices: list | None = None) -> dict:

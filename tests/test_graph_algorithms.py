@@ -76,6 +76,35 @@ class TestPageRank:
         for v in exp:
             assert abs(got[v] - exp[v]) < 1e-6
 
+    def test_tol_mode_rel_scale_invariant(self, spark):
+        # rel mode = effective tolerance tol/n, the scale-invariant
+        # criterion measured in BENCH/BASELINE.md 'Convergence
+        # benchmark' (18 iters rel vs 7 abs at 10M edges / 1M verts).
+        # Same protocol at test scale: iteration counts pinned to the
+        # oracle under BOTH criteria, ranks to fp precision.
+        pairs = random_graph(80, 400, seed=11)
+        iters = {}
+        for mode in ("abs", "rel"):
+            stats = PageRankStats()
+            got = _rank_map(
+                pagerank(edges_df(spark, pairs), tol=1e-6, tol_mode=mode, stats=stats)
+            )
+            exp, exp_iters = pagerank_oracle(
+                pairs, tol=1e-6, tol_mode=mode, return_iters=True
+            )
+            assert stats.converged
+            assert stats.iterations == exp_iters
+            for v in exp:
+                assert abs(got[v] - exp[v]) < 1e-12
+            iters[mode] = stats.iterations
+        # the relative criterion is strictly harder than the absolute
+        # one on the same graph (here: effective tol 1e-6 / n)
+        assert iters["rel"] > iters["abs"]
+
+    def test_tol_mode_rejects_unknown(self, spark):
+        with pytest.raises(ValueError, match="tol_mode"):
+            pagerank(edges_df(spark, RING), tol_mode="bogus")
+
     def test_star_skew(self, spark):
         # supernode: 50 spokes -> 1 hub; spokes are dangling-fed only
         pairs = [(i, 1000) for i in range(50)]

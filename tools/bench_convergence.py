@@ -30,9 +30,10 @@ from rad_ecg_spark.sources.synth_graph import synth_edges
 from rad_ecg_spark.operators.pagerank import pagerank, PageRankStats
 
 cpus, n_edges, max_iter, parts = (int(a) for a in sys.argv[1:5])
-mode = sys.argv[5]  # plain | ckpt | ckpt_async | ckpt_every5 | ckpt_async_every5
-with_ckpt = mode != "plain"
+mode = sys.argv[5]  # plain | plain_rel | ckpt | ckpt_async | ckpt_every5 | ...
+with_ckpt = mode not in ("plain", "plain_rel")
 every = 5 if mode.endswith("every5") else 1
+tol_mode = "rel" if mode.endswith("_rel") else "abs"
 spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=parts,
                   extra_conf={"spark.ui.showConsoleProgress": "false",
                               "spark.driver.memory": "24g"})
@@ -48,15 +49,16 @@ if with_ckpt:
                              async_write="async" in mode)
 st = PageRankStats()
 t0 = time.monotonic()
-ranks = pagerank(edges, tol=1e-6, max_iter=max_iter, num_partitions=parts,
-                 stats=st, checkpointer=ckpt, checkpoint_every=every)
+ranks = pagerank(edges, tol=1e-6, tol_mode=tol_mode, max_iter=max_iter,
+                 num_partitions=parts, stats=st, checkpointer=ckpt,
+                 checkpoint_every=every)
 n = ranks.count()
 wall = time.monotonic() - t0
 half = sorted(st.iter_wall_s[len(st.iter_wall_s)//2:])
 if ckpt_dir:
     shutil.rmtree(ckpt_dir, ignore_errors=True)
 print("RESULT " + json.dumps({
-    "config": mode,
+    "config": mode, "tol_mode": tol_mode,
     "cpus": cpus, "edges": st.num_edges, "vertices": n,
     "iterations": st.iterations, "converged": st.converged,
     "total_wall_s": round(wall, 1), "setup_s": round(st.setup_wall_s, 2),
