@@ -266,6 +266,52 @@ class TestWinnowing:
         assert (1, 2) in pairs
         assert all(3 not in p for p in pairs)
 
+    def test_plagiarism_scale_parameters(self, spark):
+        """The docstring's real-world parameterization claim (k~25,
+        w~25), measured: on a 200-doc random-word corpus with 20
+        planted ~200-char lifted passages, plagiarism-scale parameters
+        find EXACTLY the planted pairs (precision 1.0, recall 1.0),
+        while the registry's collision-happy k=8,w=4 drowns them in
+        thousands of gram-collision candidates (~0.5% precision here,
+        ~9% on the sf0.1 synthetic docs). A ~35-word passage carries
+        >= floor((L-k+1)/w) ~ 7 disjoint winnow windows, so the
+        min_shared=2 gate is met with margin (SIGMOD'03 guarantee)."""
+        import string
+
+        from rad_ecg_spark.operators.dedup import winnow_neardup
+
+        rng = np.random.default_rng(1234)
+        letters = np.array(list(string.ascii_lowercase))
+        vocab = ["".join(rng.choice(letters, rng.integers(3, 10)))
+                 for _ in range(4000)]
+
+        def doc(n):
+            return " ".join(rng.choice(vocab, n))
+
+        texts = [doc(80) for _ in range(200)]
+        planted = set()
+        for i in range(20):
+            src, dst = i, 100 + i
+            words = texts[src].split()
+            start = int(rng.integers(0, 40))
+            passage = " ".join(words[start:start + 35])
+            texts[dst] = doc(10) + " " + passage + " " + doc(40)
+            planted.add((src, dst))
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {(r["a"], r["b"]) for r in
+               winnow_neardup(df, k=25, w=25, min_shared=2).collect()}
+        tp = len(got & planted)
+        assert tp == len(planted), "recall must be 1.0 (winnow guarantee)"
+        assert tp / len(got) >= 0.95, f"precision {tp/len(got):.3f} < 0.95"
+        # same corpus, registry-scale k=8,w=4: recall holds but the
+        # candidate list balloons — the documented precision tradeoff
+        loose = {(r["a"], r["b"]) for r in
+                 winnow_neardup(df, k=8, w=4, min_shared=2).collect()}
+        assert planted <= loose
+        assert len(loose) > 20 * len(got)
+
     def test_verified_pairs_drop_gram_collisions(self, spark):
         """winnow_verified_pairs = winnow candidates -> exact Jaccard.
         A pair sharing only a short substring (winnow candidate) but few
