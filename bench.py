@@ -69,12 +69,25 @@ BENCH_QUERY_NAMES = [
 ]
 
 
+def _load1() -> float | None:
+    """1-min load average — stamps the artifact with the session's
+    concurrent-load picture so a burst window is separable from an
+    engine regression without forensics (this host is co-tenant;
+    see BENCH/BASELINE.md memory-bandwidth appendix)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_edges = int(os.environ.get("BENCH_EDGES", "10000000"))
     pr_iters = int(os.environ.get("BENCH_PR_ITERS", "5"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+    load1_start = _load1()  # BEFORE our own JVM adds its 32 threads
 
     spark = get_spark(
         app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
@@ -163,6 +176,8 @@ def main() -> None:
         "pages_per_sec": round(n_pages / ext_wall),
         "total_query_wall_s": round(total, 3),
         "cpus": cpus,
+        "load1_start": load1_start,
+        "load1_end": _load1(),
     }
     detail_out = os.environ.get(
         "BENCH_DETAIL_OUT",

