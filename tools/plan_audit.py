@@ -145,6 +145,56 @@ def audit(spark, sf_dir: str) -> tuple[list[str], list[str]]:
     return lines, failures
 
 
+def audit_triangle_wedges(spark, sf_dir: str) -> tuple[list[str], list[str]]:
+    """The triangle wedge join's exchange count — audited on the REAL
+    production shape: the oriented edge list cached (as triangle_count
+    materializes it), then the wedge build + closing semi-join planned
+    over the cached scans. Budget: 3 Exchange nodes — e1/e2 each
+    shuffle on the wedge key v, and the semi-join re-shuffles wedges on
+    (u, w) against the closing edges (r04 VERDICT micro: 'profile the
+    wedge join's exchange count at sf0.1')."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from rad_ecg_spark.operators.triangles import _oriented
+    from rad_ecg_spark.queries.graph import derived_edges
+
+    o, canon = _oriented(derived_edges(spark, sf_dir))
+    o = o.persist(StorageLevel.MEMORY_AND_DISK)
+    o.count()
+    canon.unpersist()
+    e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = o.select(F.col("src").alias("v2"), F.col("dst").alias("w"))
+    wedges = e1.join(e2, e1.v == e2.v2).select("u", "w")
+    closing = o.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    closed = wedges.join(closing, ["u", "w"], "left_semi")
+    simple = closed._jdf.queryExecution().executedPlan().toString()
+    # live exchanges only: walk the tree, don't descend into cached
+    # subtrees (the string repr re-embeds the cached build plan once
+    # per InMemoryTableScan reference, inflating a naive string count)
+    from tools.audit_loops import count_live_exchanges
+
+    n_ex, _ = count_live_exchanges(closed)
+    o.unpersist()
+    probs = []
+    if n_ex > 3:
+        probs.append(f"live exchanges {n_ex} > budget 3")
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        if bad in simple:
+            probs.append(f"forbidden node {bad}")
+    if "InMemoryTableScan" not in simple:
+        probs.append("wedge join does not read the cached oriented edges")
+    status = "OK" if not probs else "FAIL: " + "; ".join(probs)
+    print(("PASS " if not probs else "FAIL ") + "triangle_wedge_close"
+          + ("" if not probs else "  " + "; ".join(probs)))
+    lines = [
+        f"### triangle_wedge_close (wedge build + closing semi-join over "
+        f"cached oriented edges)\n- live exchanges: {n_ex} (budget 3)\n"
+        f"- status: **{status}**\n"
+    ]
+    return lines, ([f"triangle_wedge_close: {'; '.join(probs)}"] if probs else [])
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     from rad_ecg_spark.session import get_spark
@@ -153,6 +203,9 @@ def main() -> None:
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
     lines, failures = audit(spark, sf_dir)
+    t_lines, t_failures = audit_triangle_wedges(spark, sf_dir)
+    lines += t_lines
+    failures += t_failures
     hdr = (
         "# PLANS — physical-plan audit\n\n"
         "Generated by tools/plan_audit.py: every headline query's plan is\n"
@@ -163,7 +216,8 @@ def main() -> None:
     )
     with open("PLANS.md", "w") as f:
         f.write(hdr + "\n".join(lines))
-    print(f"wrote PLANS.md ({len(AUDITS) - len(failures)}/{len(AUDITS)} OK)")
+    total = len(AUDITS) + 1  # + the triangle wedge-plan audit
+    print(f"wrote PLANS.md ({total - len(failures)}/{total} OK)")
     if failures:
         sys.exit(1)
 
