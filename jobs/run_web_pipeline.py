@@ -29,6 +29,13 @@ def main() -> None:
     ap.add_argument("--max-iter", type=int, default=100)
     ap.add_argument("--verify-extract", action="store_true",
                     help="assert the byte-exact text invariant before running")
+    ap.add_argument("--hub-threshold", type=int, default=None,
+                    help="out-degree threshold routing supernode hubs through "
+                         "the broadcast path in PageRank/label propagation "
+                         "(power-law web graphs; operators/skew.py)")
+    ap.add_argument("--tol-mode", choices=("abs", "rel"), default="abs",
+                    help="PageRank convergence criterion: abs L-inf delta, "
+                         "or rel (scale-invariant, effective tol/n)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -58,6 +65,8 @@ def main() -> None:
         tol=args.tol,
         max_iter=args.max_iter,
         verify_extract=args.verify_extract,
+        hub_degree_threshold=args.hub_threshold,
+        tol_mode=args.tol_mode,
     )
     print(json.dumps(summary, sort_keys=True))
 

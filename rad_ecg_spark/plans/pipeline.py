@@ -142,10 +142,19 @@ def run_pipeline(
     tol: float = 1e-6,
     max_iter: int = 100,
     verify_extract: bool = False,
+    hub_degree_threshold: int | None = None,
+    tol_mode: str = "abs",
 ) -> dict:
     """Run the full pipeline; returns a summary dict (also written to
     ``<out_dir>/summary.json``). ``summary["stage_wall_s"]`` carries
-    per-stage wall-clock so a bench-scale run is self-reporting."""
+    per-stage wall-clock so a bench-scale run is self-reporting.
+
+    ``hub_degree_threshold``: real web graphs are power-law — when set,
+    PageRank and label propagation route supernode hubs through the
+    broadcast path (operators/skew.py; ~2x/iteration at extreme
+    out-degree skew, BENCH/BASELINE.md 'Hub-split supernode path').
+    ``tol_mode``: "abs" or "rel" PageRank convergence criterion
+    (operators/pagerank.py — "rel" is the scale-invariant form)."""
     import json
     import os
     import time
@@ -195,8 +204,9 @@ def run_pipeline(
         try:
             st = PageRankStats()
             ranks = pagerank(
-                edges, tol=tol, max_iter=max_iter, checkpointer=ck,
-                resume=resume, stats=st,
+                edges, tol=tol, tol_mode=tol_mode, max_iter=max_iter,
+                checkpointer=ck, resume=resume, stats=st,
+                hub_degree_threshold=hub_degree_threshold,
             )
             ranks.write.mode("overwrite").parquet(os.path.join(out_dir, "pagerank"))
         finally:
@@ -222,7 +232,10 @@ def run_pipeline(
 
         t0 = time.monotonic()
         lst = LabelPropStats()
-        lp = label_propagation(edges, max_iter=min(max_iter, 30), stats=lst)
+        lp = label_propagation(
+            edges, max_iter=min(max_iter, 30), stats=lst,
+            hub_degree_threshold=hub_degree_threshold,
+        )
         lp.write.mode("overwrite").parquet(os.path.join(out_dir, "labels"))
         # a capped, non-converged LP run must be visible in the summary,
         # not silently reported like a converged one

@@ -168,3 +168,45 @@ class TestPipelineRound5:
         assert summary["labelprop"]["iterations"] >= 1
         assert isinstance(summary["labelprop"]["converged"], bool)
         assert summary["pagerank"]["resumed_from"] is None
+
+    def test_hub_threshold_and_tol_mode_flow_through(self, spark, tmp_path):
+        """The supernode split and the rel convergence criterion are
+        reachable from the composed pipeline (power-law web graphs are
+        the pipeline's target domain): identical ranks/labels with and
+        without the hub split, and rel mode converges like the
+        operator-level contract says."""
+        both, _ = _pages_with_mirrors(spark, n_sites=4, per_site=8)
+        plain_out = str(tmp_path / "plain")
+        split_out = str(tmp_path / "split")
+        s_plain = run_pipeline(
+            spark, both, plain_out, algos=("pagerank", "labelprop"),
+            max_iter=15, tol_mode="rel",
+        )
+        s_split = run_pipeline(
+            spark, both, split_out, algos=("pagerank", "labelprop"),
+            max_iter=15, tol_mode="rel", hub_degree_threshold=3,
+        )
+        # same criterion, same graph: identical iteration trajectories
+        assert s_split["pagerank"]["iterations"] == s_plain["pagerank"]["iterations"]
+        assert s_split["labels"] == s_plain["labels"]
+        a = spark.read.parquet(os.path.join(plain_out, "pagerank"))
+        b = spark.read.parquet(os.path.join(split_out, "pagerank")).select(
+            F.col("id").alias("bid"), F.col("rank").alias("brank")
+        )
+        diff = (
+            a.join(b, a.id == F.col("bid"))
+            .select(F.max(F.abs(F.col("rank") - F.col("brank"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        # float-summation reordering only (operators/pagerank.py contract)
+        assert diff < 1e-12
+        la = spark.read.parquet(os.path.join(plain_out, "labels"))
+        lb = spark.read.parquet(os.path.join(split_out, "labels")).select(
+            F.col("id").alias("bid"), F.col("label").alias("blabel")
+        )
+        assert (
+            la.join(lb, la.id == F.col("bid"))
+            .filter(F.col("label") != F.col("blabel"))
+            .count()
+            == 0
+        )
