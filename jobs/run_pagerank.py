@@ -26,6 +26,9 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--damping", type=float, default=0.85)
     ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--tol-mode", choices=("abs", "rel"), default="abs",
+                    help="convergence criterion: abs L-inf delta < tol, or "
+                         "rel (scale-invariant: effective tolerance tol/n)")
     ap.add_argument("--max-iter", type=int, default=100)
     ap.add_argument("--partitions", type=int)
     ap.add_argument(
@@ -83,6 +86,7 @@ def main() -> None:
         edges,
         damping=args.damping,
         tol=args.tol,
+        tol_mode=args.tol_mode,
         max_iter=args.max_iter,
         num_partitions=args.partitions,
         checkpointer=ck,
