@@ -60,7 +60,6 @@ from rad_ecg_spark.operators.graph_core import (
     normalize_edges,
     pinned_loop_conf,
     size_partitions,
-    symmetrize,
     vertices_of,
 )
 
@@ -130,15 +129,25 @@ def connected_components(
     (hashmin capped at ``hashmin_rounds``, then star on the label
     contraction if not yet converged — see module docstring)."""
     spark = edges.sparkSession
-    edges = normalize_edges(edges)
+    # persist the normalized edges: verts, sym and (on the hybrid
+    # fallback) the quotient all re-read them, and the input is often an
+    # expensive derivation (a distinct over a source table) that would
+    # otherwise be recomputed per consumer (measured ~1.5 s per re-read
+    # at sf1.0).
+    edges = normalize_edges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    n_edges = edges.count()
     verts = vertices_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
     if num_partitions is None:
-        num_partitions = size_partitions(spark, verts.count() * 4)
+        # size on the symmetric edge table (2|E|) — the rows every round
+        # actually moves; vertex-count sizing left a 3M-row sym table on
+        # 2 partitions at sf1.0 (1.2 s/round vs 0.45 s at 16).
+        num_partitions = size_partitions(spark, n_edges * 2)
 
-    with pinned_loop_conf(spark):
+    with pinned_loop_conf(spark, num_partitions):
         result = _run(edges, verts, method, max_iter, num_partitions, hashmin_rounds)
     out = result.select("id", "component")
     verts.unpersist()
+    edges.unpersist()
     return out
 
 
@@ -158,20 +167,32 @@ def _hashmin(edges, verts, max_rounds, num_partitions):
         .repartition(num_partitions, "id")
         .localCheckpoint(eager=True)
     )
-    sym = symmetrize(edges).repartition(num_partitions, "src").persist()
+    # both directions -> ONE exchange (repartition by src; the dedup
+    # reuses HashPartitioning(src) via the subset rule) instead of
+    # symmetrize()'s distinct-then-repartition double shuffle.
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .repartition(num_partitions, "src")
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
     sym.count()
     converged = False
     for _ in range(max_rounds):
         # min over neighbors of dst: sym is symmetric, so grouping the
-        # src-side labels by dst sees every neighbor of every vertex
+        # src-side labels by dst sees every neighbor of every vertex.
+        # Plain groupBy (no pre-repartition): the loop conf pins
+        # shuffle.partitions = num_partitions, so the aggregate lands on
+        # the state's partition count AND gets map-side partial
+        # aggregation before the exchange (the explicit repartition
+        # shuffled the raw 2|E| message rows).
         msgs = sym.join(
             labels.hint("shuffle_hash"), sym.src == labels.id
         ).select("dst", "component")
-        nbr_min = (
-            msgs.repartition(num_partitions, "dst")
-            .groupBy("dst")
-            .agg(F.min("component").alias("nbr_min"))
-        )
+        nbr_min = msgs.groupBy("dst").agg(F.min("component").alias("nbr_min"))
         new_comp = F.least(
             F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
         )
@@ -206,7 +227,7 @@ def _star_components(edges, num_partitions, max_iter):
     covering the vertices that appear in edges (isolated vertices are
     the caller's job)."""
     cur = (
-        symmetrize(edges)
+        _sym_nodedup(edges)
         .repartition(num_partitions, "src")
         .dropDuplicates(["src", "dst"])  # no extra shuffle (subset rule)
     )

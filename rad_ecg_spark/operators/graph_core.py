@@ -34,7 +34,14 @@ def normalize_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
 # to fit comfortably in executor memory at 100TB scale, large enough that
 # per-task overhead doesn't dominate (measured: a 15k-edge graph at 32
 # partitions spends ~6s/iter on pure task overhead; at 2 partitions <1s).
-EDGE_ROWS_PER_PARTITION = 500_000
+# Round 6 re-measurement: 500k rows/partition undersubscribed the local
+# machine at mid scale (3M-row sym table -> 7 partitions on 32 cores,
+# hashmin rounds 1.2 s; at 16-32 partitions the same rounds run 0.45 s)
+# and left the 10M-edge bench at 21 tasks (steady iter 1.11 s -> 0.77-1.0
+# at 32). 150k keeps tiny graphs at 2 partitions while saturating the
+# configured parallelism cap (spark.sql.shuffle.partitions, sized to the
+# cluster) from ~5M rows up.
+EDGE_ROWS_PER_PARTITION = 150_000
 
 
 def size_partitions(spark, n_rows: int, configured: int | None = None) -> int:
@@ -47,7 +54,7 @@ def size_partitions(spark, n_rows: int, configured: int | None = None) -> int:
 
 
 @contextmanager
-def pinned_loop_conf(spark):
+def pinned_loop_conf(spark, shuffle_partitions: int | None = None):
     """Disable AQE for the duration of an iterative loop.
 
     Two reasons, both measured at 10M edges on local[32]:
@@ -60,11 +67,21 @@ def pinned_loop_conf(spark):
     to improve here; skew is handled structurally (map-side partial
     aggregation; degree-ordered orientation in triangles). AQE stays on
     for ad-hoc relational queries (session default).
+
+    ``shuffle_partitions``: when the loop's state is hand-partitioned to
+    N, pin spark.sql.shuffle.partitions = N too, so natural shuffles
+    inside the loop (a plain groupBy) land on the SAME partition count
+    as the state and the write-back joins stay exchange-free. Without
+    this, a loop sized below the session default pays one extra
+    vertex-sized exchange per iteration re-aligning the aggregate output
+    to the state's partitioning (guide §2.4: share one exchange).
     """
     keys = {
         "spark.sql.adaptive.enabled": "false",
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
     }
+    if shuffle_partitions is not None:
+        keys["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     old = {k: spark.conf.get(k, "true") for k in keys}
     for k, v in keys.items():
         spark.conf.set(k, v)

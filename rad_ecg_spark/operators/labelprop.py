@@ -118,7 +118,7 @@ def label_propagation(
         .localCheckpoint(eager=True)
     )
 
-    with pinned_loop_conf(spark):
+    with pinned_loop_conf(spark, num_partitions):
       for it in range(max_iter):
         t_iter = _time.monotonic()
         # messages flow src -> dst; the join is co-partitioned (sym by

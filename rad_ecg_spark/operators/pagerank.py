@@ -209,7 +209,11 @@ def pagerank(
     # an absolute threshold either way
     eff_tol = float(tol) if tol_mode == "abs" else float(tol) / n
     stats.setup_wall_s = _time.monotonic() - t_setup
-    with pinned_loop_conf(spark):
+    # pin shuffle.partitions = num_partitions too: the contribution
+    # groupBy("dst") then lands on the state's partition count, keeping
+    # the write-back join exchange-free at ANY num_partitions (not just
+    # when it happens to equal the session default).
+    with pinned_loop_conf(spark, num_partitions):
         for it in range(start_iter, max_iter):
             t_iter = _time.monotonic()
             # shuffle_hash: build a hash map over the per-partition ranks
