@@ -112,6 +112,37 @@ def with_halo_chunks(
     )
 
 
+def _sweep_chunks(chunked: DataFrame, kernel_one, schema: str) -> DataFrame:
+    """Halo-exchange driver: repartition by chunk id, sort within
+    partitions, then ONE mapInPandas pass that slices each chunk's
+    contiguous block and applies ``kernel_one``.
+
+    Round 6 (guide §4.1): replaces ``groupBy("chunk").applyInPandas``,
+    which frames one Arrow batch + one Python call per chunk — ~2k
+    chunks at sf1.0 paid more in per-group framing than in kernel
+    compute. Same shuffle (one exchange by chunk), same sorted per-chunk
+    rows into the same kernel — identical outputs.
+    """
+    spark = chunked.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def sweep(batches):
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            return  # empty partition: emit nothing
+        pdf = pd.concat(frames, ignore_index=True)
+        ch = pdf["chunk"].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, ch[1:] != ch[:-1], True])
+        outs = [kernel_one(pdf.iloc[a:b]) for a, b in zip(bounds[:-1], bounds[1:])]
+        yield pd.concat(outs, ignore_index=True)
+
+    return (
+        chunked.repartition(n_parts, "chunk")
+        .sortWithinPartitions("chunk", "rn")
+        .mapInPandas(sweep, schema=schema)
+    )
+
+
 def halo_rolling_median(
     events: DataFrame,
     h: int = 3,
@@ -154,10 +185,8 @@ def halo_rolling_median(
             }
         )
 
-    return (
-        chunked.groupBy("chunk")
-        .applyInPandas(kernel, schema)
-        .select(F.col("eid").alias("event_id"), "roll_med_c")
+    return _sweep_chunks(chunked, kernel, schema).select(
+        F.col("eid").alias("event_id"), "roll_med_c"
     )
 
 
@@ -230,16 +259,12 @@ def halo_mp_discord(
             out = out.astype({"discord_idx": np.int64, "nn_idx": np.int64})
         return out
 
-    return (
-        chunked.groupBy("chunk")
-        .applyInPandas(kernel, halo_mp_schema)
-        .select(
-            F.col("user_id").alias("section"),
-            "discord_idx",
-            "nn_idx",
-            "mp_e6",
-            "n_windows",
-        )
+    return _sweep_chunks(chunked, kernel, halo_mp_schema).select(
+        F.col("user_id").alias("section"),
+        "discord_idx",
+        "nn_idx",
+        "mp_e6",
+        "n_windows",
     )
 
 
