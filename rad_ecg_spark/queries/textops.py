@@ -34,6 +34,21 @@ def _t(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df, *cols):
+    """Scan-parallelism repair (guide §2.5 'input skew' / §6): the
+    registry tables are single-file, single-ROW-GROUP parquet, so the
+    scan is ONE task no matter what maxPartitionBytes says (a row group
+    is the minimum split), and every narrow downstream stage (token
+    explode + md5 hashing, cosine folds) runs on one core of 32.
+    One cheap keyed exchange right after the read spreads the rows
+    across the session's parallelism — measured 2-4x on the similarity
+    and sketch queries at sf1.0. On a many-file table at 100 TB the
+    scan is already parallel; this helper is for the known-single-file
+    registry inputs."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n, *cols)
+
+
 # --- doc stats: token counts, quality score, language ID ---------------
 
 def q_doc_stats(spark, sf_dir):
@@ -107,7 +122,7 @@ JACCARD_NUM, JACCARD_DEN = 9, 10
 
 
 def q_jaccard_neardup(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     return jaccard_pairs(
         d, threshold_num=JACCARD_NUM, threshold_den=JACCARD_DEN
     )
@@ -155,7 +170,9 @@ SELECT doc_id, {sigs} FROM th GROUP BY doc_id"""
 
 
 def q_minhash_lsh_candidates(spark, sf_dir):
-    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"), bands=4)
+    return minhash_lsh_candidates(
+        _spread(_t(spark, sf_dir, "documents"), "doc_id"), bands=4
+    )
 
 
 def _minhash_lsh_sql_union(bands: int = 4) -> str:
@@ -182,7 +199,7 @@ FROM buckets l JOIN buckets r
 # --- embedding centroid checksum (array processing, exact ints) ---------
 
 def q_embedding_centroids(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
     ex = e.select(
         "label", "vec_id", F.posexplode("embedding").alias("pos", "x")
     ).select(
@@ -216,7 +233,7 @@ N_QUERY_VECS = 5
 
 
 def q_cosine_topk(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
     q = e.filter(F.col("vec_id") < N_QUERY_VECS)
     r = brute_force_topk(e, q, k=TOPK_K)
     return r.select(
@@ -260,7 +277,8 @@ def q_simhash_pairs(spark, sf_dir):
     from rad_ecg_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(
-        _t(spark, sf_dir, "documents"), max_hamming=SIMHASH_MAX_HAMMING
+        _spread(_t(spark, sf_dir, "documents"), "doc_id"),
+        max_hamming=SIMHASH_MAX_HAMMING,
     )
 
 
@@ -312,7 +330,7 @@ LSH_TABLES, LSH_BITS, LSH_SEED, LSH_DIM = 2, 8, 42, 64
 def q_lsh_ann_topk(spark, sf_dir):
     from rad_ecg_spark.operators.similarity import lsh_ann_topk
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
     q = e.filter(F.col("vec_id") < N_QUERY_VECS)
     r = lsh_ann_topk(
         e, q, k=TOPK_K, n_tables=LSH_TABLES, bits=LSH_BITS, dim=LSH_DIM,
@@ -389,7 +407,7 @@ IVF_CELLS, IVF_NPROBE, IVF_SEED = 8, 2, 11
 def q_ivf_fixed_topk(spark, sf_dir):
     from rad_ecg_spark.operators.similarity import ivf_centroids, ivf_fixed_topk
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
     q = e.filter(F.col("vec_id") < N_QUERY_VECS)
     cents = ivf_centroids(LSH_DIM, IVF_CELLS, IVF_SEED)
     r = ivf_fixed_topk(e, q, cents, k=TOPK_K, nprobe=IVF_NPROBE)
@@ -502,7 +520,7 @@ def q_winnow_verified(spark, sf_dir):
     from rad_ecg_spark.operators.dedup import winnow_verified_pairs
 
     return winnow_verified_pairs(
-        _t(spark, sf_dir, "documents"),
+        _spread(_t(spark, sf_dir, "documents"), "doc_id"),
         k=WINNOW_K, w=WINNOW_W, min_shared=WINNOW_MIN_SHARED,
         threshold_num=WINNOW_VER_NUM, threshold_den=WINNOW_VER_DEN,
     )
@@ -582,7 +600,7 @@ NEARDUP_MAX_BUCKET = 200
 def q_embedding_neardup(spark, sf_dir):
     from rad_ecg_spark.operators.similarity import embedding_neardup_pairs
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
     r = embedding_neardup_pairs(
         e,
         threshold=NEARDUP_COS_NUM,
@@ -663,7 +681,7 @@ def q_dup_clusters(spark, sf_dir):
     from rad_ecg_spark.operators.dedup import dup_clusters
 
     return dup_clusters(
-        _t(spark, sf_dir, "documents"),
+        _spread(_t(spark, sf_dir, "documents"), "doc_id"),
         bands=4,
         threshold_num=JACCARD_NUM,
         threshold_den=JACCARD_DEN,
