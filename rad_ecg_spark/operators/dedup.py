@@ -301,7 +301,13 @@ def simhash_pairs(
     """
     n_chunks = max_hamming + 1
     width = _SIMHASH_BITS // n_chunks
-    s = simhash_table(df, text_col, id_col)
+    # materialize the signature table once: the banded self-join below
+    # references it on BOTH sides, and without a barrier the whole
+    # explode+distinct+60-agg sketch subtree executes twice (measured
+    # ~0.8 s/side at sf1.0). Eager localCheckpoint (not persist) so the
+    # blocks are reclaimed by the ContextCleaner when the result is
+    # garbage collected — same discipline as jaccard_pairs.
+    s = simhash_table(df, text_col, id_col).localCheckpoint(eager=True)
     chunks = []
     for c in range(n_chunks):
         lo = c * width
@@ -319,13 +325,34 @@ def simhash_pairs(
     )
     l = buckets.select(F.col("id").alias("a"), F.col("sh").alias("sha"), "cid", "ck")
     r = buckets.select(F.col("id").alias("b"), F.col("sh").alias("shb"), "cid", "ck")
+    # A pair sharing k chunks came out of the join k times; the old plan
+    # removed the duplicates with a DISTINCT — at sf1.0 that shuffled
+    # 63M candidate rows to keep 27M (the corpus has a 15.7k-doc
+    # near-identical cluster). Instead emit each pair from its FIRST
+    # matching chunk only: keep the row iff every earlier chunk of
+    # sha^shb is non-zero. Pure per-row bit math, exactly one emission
+    # per qualifying pair — the dedup shuffle disappears entirely
+    # (guide §2.4: remove shuffles outright).
+    x = F.col("sha").bitwiseXOR(F.col("shb"))
+    first_match = F.lit(True)
+    prior_differs = F.lit(True)
+    for c in range(1, n_chunks):
+        lo = (c - 1) * width
+        w = _SIMHASH_BITS - lo if c - 1 == n_chunks - 1 else width
+        prior_differs = prior_differs & (
+            F.shiftrightunsigned(x, lo).bitwiseAND(F.lit((1 << w) - 1)) != 0
+        )
+        first_match = F.when(F.col("cid") == c, prior_differs).otherwise(first_match)
+    # (A salted variant — probe-side salt + build-side explode g ways to
+    # split the mega-bucket key — was A/B'd at sf1.0 and LOST: warm 4.0 s
+    # plain vs 5.7-6.1 s salted. The cluster's 4 chunk keys already land
+    # in 4 parallel sort-merge tasks that stream sorted runs, and the
+    # x8 build-side row explosion costs more than the tail it shaves.)
     return (
         l.join(r, ["cid", "ck"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sha", "shb")
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))))
-        .filter(F.col("hamming") <= max_hamming)
+        .withColumn("hamming", F.bit_count(x))
+        .filter((F.col("hamming") <= max_hamming) & first_match)
         .select("a", "b", "hamming")
     )
 
