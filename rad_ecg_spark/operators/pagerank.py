@@ -62,7 +62,6 @@ from rad_ecg_spark.operators.graph_core import (
     out_degrees,
     pinned_loop_conf,
     size_partitions,
-    vertices_of,
 )
 from rad_ecg_spark.plans.checkpoint import CheckpointManager
 
@@ -128,12 +127,16 @@ def pagerank(
     if stats is None:
         stats = PageRankStats()
 
-    raw = normalize_edges(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    n_raw = raw.count()
+    raw = normalize_edges(edges)
     if num_partitions is None:
         # size partitions to the data: tiny graphs at full parallelism
-        # pay ~6s/iteration of pure task overhead (measured)
-        num_partitions = size_partitions(spark, n_raw)
+        # pay ~6s/iteration of pure task overhead (measured). The sizing
+        # count is a pure scan of the input (no persist): the input is
+        # re-read once more into the shuffle below — cheaper than a
+        # 10M-row cache write+read (setup measured 2.9 -> 2.3 s), and
+        # callers with an expensive edge derivation persist it themselves
+        # (plans/pipeline.py does).
+        num_partitions = size_partitions(spark, raw.count())
     edges = raw.repartition(num_partitions, "src")
     if dedupe_edges:
         # PageRank is defined over an edge SET; duplicate (src,dst) rows
@@ -142,20 +145,27 @@ def pagerank(
         # rule), so the distinct adds NO second shuffle.
         edges = edges.dropDuplicates(["src", "dst"])
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    edges.count()
-    raw.unpersist()
+    n_edges = edges.count()
     # state table carries the static outdeg so the loop never re-joins a
-    # separate degree table.
+    # separate degree table. Vertex set = dst side ∪ degree table keys:
+    # out_degrees reuses the cached edges' HashPartitioning(src) with no
+    # exchange, so only the dst projection is shuffled (half the rows the
+    # old union-both-sides-then-distinct moved), and the full-outer join
+    # is co-partitioned.
+    deg = out_degrees(edges)
+    dsts = edges.select(F.col("dst").alias("id")).distinct()
     verts = (
-        vertices_of(edges)
-        .join(out_degrees(edges), F.col("id") == F.col("src"), "left")
-        .select("id", F.coalesce(F.col("outdeg"), F.lit(0)).alias("outdeg"))
+        dsts.join(deg, dsts.id == deg.src, "full_outer")
+        .select(
+            F.coalesce(F.col("id"), F.col("src")).alias("id"),
+            F.coalesce(F.col("outdeg"), F.lit(0)).alias("outdeg"),
+        )
         .repartition(num_partitions, "id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = verts.count()
     stats.num_vertices = n
-    stats.num_edges = edges.count()
+    stats.num_edges = n_edges
     if n == 0:
         out = verts.select("id", F.lit(0.0).alias("rank"))
         edges.unpersist()
