@@ -181,4 +181,11 @@ def label_propagation(
             break
 
     sym.unpersist()
+    # mirror pagerank's cleanup: without this the hub-split path leaked
+    # ~2|E|+ cached rows per call in a long-lived driver (ADVICE r05),
+    # and in run_pipeline the leaked blocks squat on storage while
+    # components/triangles run afterwards in the same session
+    for df in (residual, hub_edges, hub_ids):
+        if df is not None:
+            df.unpersist()
     return labels.select("id", "label")

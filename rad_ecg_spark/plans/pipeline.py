@@ -211,7 +211,17 @@ def run_pipeline(
             ranks.write.mode("overwrite").parquet(os.path.join(out_dir, "pagerank"))
         finally:
             if ck is not None:
-                ck.close()  # drain an in-flight async commit, even on error
+                # drain an in-flight async commit, even on error — but
+                # never let a failed drain REPLACE an exception already
+                # propagating from pagerank() (ADVICE r05: the close()
+                # re-raise would mask the original error)
+                import sys as _sys
+
+                try:
+                    ck.close()
+                except Exception:
+                    if _sys.exc_info()[0] is None:
+                        raise
         summary["pagerank"] = {
             "iterations": st.iterations,
             "converged": st.converged,
