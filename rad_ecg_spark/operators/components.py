@@ -205,8 +205,9 @@ def _hashmin(edges, verts, max_rounds, num_partitions):
                 # pagerank.py) — no per-iteration self-join
                 (new_comp != F.col("component")).cast("long").alias("changed"),
             )
-            # lineage truncation per iteration (see pagerank.py doc)
-            .localCheckpoint(eager=True)
+            # lineage truncation per iteration (see pagerank.py doc);
+            # lazy: the changed-count agg below materializes it (one job)
+            .localCheckpoint(eager=False)
         )
         changed = int(
             new_labels.agg(F.coalesce(F.sum("changed"), F.lit(0))).collect()[0][0]
@@ -243,7 +244,8 @@ def _star_components(edges, num_partitions, max_iter):
             _sym_nodedup(cur)
             .repartition(num_partitions, "src")
             .dropDuplicates(["src", "dst"])  # ONE dedup per round
-            .localCheckpoint(eager=True)
+            # lazy: the fingerprint agg below materializes it (one job)
+            .localCheckpoint(eager=False)
         )
         fp = _fingerprint(cur)
         free_local_checkpoint(prev_ckpt)

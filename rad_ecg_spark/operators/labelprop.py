@@ -162,8 +162,9 @@ def label_propagation(
                 .cast("long")
                 .alias("changed"),
             )
-            # truncate lineage every iteration (see operators/pagerank.py)
-            .localCheckpoint(eager=True)
+            # truncate lineage every iteration (see operators/pagerank.py);
+            # lazy: the changed-count agg below materializes it (one job)
+            .localCheckpoint(eager=False)
         )
         # coalesce: sum over zero rows is NULL (empty vertex set)
         changed = int(
