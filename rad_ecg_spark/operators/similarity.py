@@ -316,11 +316,22 @@ def ivf_fixed_topk(
     SQL-expressible and carries a full DuckDB oracle — the correctness
     twin of ``ivf_topk`` (which fits its quantizer). Same scale shape:
     map-side assignment, broadcast probe, equi-join on cell id."""
+    # coalesce(-1): the assignment expression is nullable (GetArrayItem),
+    # so the equi-join would inject IsNotNull(cell) and the optimizer
+    # pushes that filter BELOW the exchange — duplicating the whole
+    # n_cells x dim d2 computation onto the (serial, single-row-group)
+    # scan side (guide §4.4's duplicated-expensive-expression problem,
+    # via join null-rejection). A non-nullable key generates no filter;
+    # a null embedding maps to cell -1, which matches no probe — the
+    # same rows are dropped either way.
     v = vectors.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vvec")
     ).withColumn(
         "cell",
-        F.array_sort(F.array(*_cell_structs(F.col("vvec"), centroids)))[0]["cell"],
+        F.coalesce(
+            F.array_sort(F.array(*_cell_structs(F.col("vvec"), centroids)))[0]["cell"],
+            F.lit(-1),
+        ),
     )
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
     probe = (
