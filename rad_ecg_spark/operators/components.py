@@ -134,7 +134,17 @@ def connected_components(
     # expensive derivation (a distinct over a source table) that would
     # otherwise be recomputed per consumer (measured ~1.5 s per re-read
     # at sf1.0).
-    edges = normalize_edges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    # repartition to the session parallelism BEFORE caching: the input
+    # is typically a 1-2-split scan (single-row-group parquet), and a
+    # cache that inherits that layout makes every downstream map side
+    # (verts distinct, sym build) 1-2-way parallel. One narrow exchange
+    # of (src, dst) pairs buys full-width map sides.
+    n_session = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    edges = (
+        normalize_edges(edges)
+        .repartition(n_session, "src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n_edges = edges.count()
     verts = vertices_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
     if num_partitions is None:
