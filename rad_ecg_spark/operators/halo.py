@@ -162,7 +162,11 @@ def halo_rolling_median(
         F.col(value_col).cast("double").alias("v"),
     )
     rn = global_row_number(series, ["ts_ms", "eid"], n_parts)
-    chunked = with_halo_chunks(rn, chunk_rows, halo_pre=h, halo_post=h)
+    # ts_ms is dead once rn exists — drop it before the chunk exchange
+    # (guide §2.3: project before the exchange)
+    chunked = with_halo_chunks(
+        rn.select("eid", "v", "rn"), chunk_rows, halo_pre=h, halo_post=h
+    )
 
     schema = "eid long, roll_med_c long"
 
@@ -232,8 +236,11 @@ def halo_mp_discord(
         F.round(F.col(value_col) * 100).cast("long").alias("cents"),
     )
     rn = global_row_number(series, ["ts_ms", "eid"], n_parts)
-    # section s needs its own rows plus the next section's first w-1 rows
-    chunked = with_halo_chunks(rn, R, halo_pre=0, halo_post=w - 1)
+    # ts_ms and eid are dead once rn exists (the kernel keys on rn) —
+    # drop them before the chunk exchange (guide §2.3)
+    chunked = with_halo_chunks(
+        rn.select("cents", "rn"), R, halo_pre=0, halo_post=w - 1
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         section = int(pdf["chunk"].iloc[0])
