@@ -171,9 +171,24 @@ def _hashmin(edges, verts, max_rounds, num_partitions):
     exchange-free — then the (dst, component) message stream pays the
     round's ONE shuffle into the min aggregation, and the write-back
     join is co-partitioned again (labels by id, nbr_min by dst).
-    Audited live by tools/audit_loops.py::hashmin_round_plan."""
+    Audited live by tools/audit_loops.py::hashmin_round_plan.
+
+    Frontier (delta) propagation: each round sends messages only from
+    vertices whose label CHANGED last round. Labels are monotonically
+    decreasing and a vertex's min can only improve when a neighbor's
+    label dropped, and every label value a vertex ever held was
+    delivered to its neighbors in the round it changed (round 1 delivers
+    from everyone) — so the per-round labels, the round count and the
+    fixpoint are IDENTICAL to full hashmin, but the message stream (and
+    the round's shuffle) shrinks with the frontier. On the sf1.0
+    derived graph the last two rounds carry 70 and 0 changes instead of
+    re-delivering all 3M edges."""
     labels = (
-        verts.select("id", F.col("id").alias("component"))
+        verts.select(
+            "id",
+            F.col("id").alias("component"),
+            F.lit(1).cast("long").alias("changed"),  # round-1 frontier: all
+        )
         .repartition(num_partitions, "id")
         .localCheckpoint(eager=True)
     )
@@ -199,8 +214,9 @@ def _hashmin(edges, verts, max_rounds, num_partitions):
         # the state's partition count AND gets map-side partial
         # aggregation before the exchange (the explicit repartition
         # shuffled the raw 2|E| message rows).
+        frontier = labels.filter(F.col("changed") == 1).select("id", "component")
         msgs = sym.join(
-            labels.hint("shuffle_hash"), sym.src == labels.id
+            frontier.hint("shuffle_hash"), sym.src == frontier.id
         ).select("dst", "component")
         nbr_min = msgs.groupBy("dst").agg(F.min("component").alias("nbr_min"))
         new_comp = F.least(

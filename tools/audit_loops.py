@@ -165,20 +165,23 @@ def hashmin_round_plan(spark, P=4):
     sym.count()
     labels = (
         vertices_of(e)
-        .select("id", F.col("id").alias("component"))
+        .select(
+            "id",
+            F.col("id").alias("component"),
+            F.lit(1).cast("long").alias("changed"),
+        )
         .repartition(P, "id")
         .localCheckpoint(eager=True)
     )
 
     def one_round(labels):
+        # frontier propagation (round 6): messages only from vertices
+        # whose label changed last round — same plan shape, smaller stream
+        frontier = labels.filter(F.col("changed") == 1).select("id", "component")
         msgs = sym.join(
-            labels.hint("shuffle_hash"), sym.src == labels.id
+            frontier.hint("shuffle_hash"), sym.src == frontier.id
         ).select("dst", "component")
-        nbr_min = (
-            msgs.repartition(P, "dst")
-            .groupBy("dst")
-            .agg(F.min("component").alias("nbr_min"))
-        )
+        nbr_min = msgs.groupBy("dst").agg(F.min("component").alias("nbr_min"))
         new_comp = F.least(
             F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
         )

@@ -146,28 +146,23 @@ def audit(spark, sf_dir: str) -> tuple[list[str], list[str]]:
 
 
 def audit_triangle_wedges(spark, sf_dir: str) -> tuple[list[str], list[str]]:
-    """The triangle wedge join's exchange count — audited on the REAL
+    """The triangle closure join's exchange count — audited on the REAL
     production shape: the oriented edge list cached (as triangle_count
-    materializes it), then the wedge build + closing semi-join planned
-    over the cached scans. Budget: 3 Exchange nodes — e1/e2 each
-    shuffle on the wedge key v, and the semi-join re-shuffles wedges on
-    (u, w) against the closing edges (r04 VERDICT micro: 'profile the
-    wedge join's exchange count at sf0.1')."""
+    materializes it), then the round-6 adjacency-intersect closure
+    (neighbor arrays joined onto each pivot edge) planned over the
+    cached scans. Budget: 3 Exchange nodes — the adjacency groupBy plus
+    up to two join-side alignments (small graphs broadcast instead)."""
     from pyspark.sql import functions as F
     from pyspark.storagelevel import StorageLevel
 
-    from rad_ecg_spark.operators.triangles import _oriented
+    from rad_ecg_spark.operators.triangles import _edge_closures, _oriented
     from rad_ecg_spark.queries.graph import derived_edges
 
     o, canon = _oriented(derived_edges(spark, sf_dir))
     o = o.persist(StorageLevel.MEMORY_AND_DISK)
     o.count()
     canon.unpersist()
-    e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    e2 = o.select(F.col("src").alias("v2"), F.col("dst").alias("w"))
-    wedges = e1.join(e2, e1.v == e2.v2).select("u", "w")
-    closing = o.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    closed = wedges.join(closing, ["u", "w"], "left_semi")
+    closed = _edge_closures(o).select(F.size("ws").alias("c"))
     simple = closed._jdf.queryExecution().executedPlan().toString()
     # live exchanges only: walk the tree, don't descend into cached
     # subtrees (the string repr re-embeds the cached build plan once
@@ -183,12 +178,12 @@ def audit_triangle_wedges(spark, sf_dir: str) -> tuple[list[str], list[str]]:
         if bad in simple:
             probs.append(f"forbidden node {bad}")
     if "InMemoryTableScan" not in simple:
-        probs.append("wedge join does not read the cached oriented edges")
+        probs.append("closure join does not read the cached oriented edges")
     status = "OK" if not probs else "FAIL: " + "; ".join(probs)
     print(("PASS " if not probs else "FAIL ") + "triangle_wedge_close"
           + ("" if not probs else "  " + "; ".join(probs)))
     lines = [
-        f"### triangle_wedge_close (wedge build + closing semi-join over "
+        f"### triangle_wedge_close (adjacency-intersect closures over "
         f"cached oriented edges)\n- live exchanges: {n_ex} (budget 3)\n"
         f"- status: **{status}**\n"
     ]
