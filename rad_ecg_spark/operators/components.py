@@ -190,7 +190,8 @@ def _hashmin(edges, verts, max_rounds, num_partitions):
             F.lit(1).cast("long").alias("changed"),  # round-1 frontier: all
         )
         .repartition(num_partitions, "id")
-        .localCheckpoint(eager=True)
+        # lazy: round 1's frontier join materializes it
+        .localCheckpoint(eager=False)
     )
     # both directions -> ONE exchange (repartition by src; the dedup
     # reuses HashPartitioning(src) via the subset rule) instead of

@@ -115,7 +115,8 @@ def label_propagation(
         vertices_of(edges)
         .select("id", F.col("id").alias("label"))
         .repartition(num_partitions, "id")
-        .localCheckpoint(eager=True)
+        # lazy: round 1's join materializes it
+        .localCheckpoint(eager=False)
     )
 
     with pinned_loop_conf(spark, num_partitions):

@@ -204,9 +204,10 @@ def pagerank(
                 .localCheckpoint(eager=True)
             )
     if ranks is None:
+        # lazy: the dangling-mass seed agg below materializes it
         ranks = verts.select(
             "id", "outdeg", (F.lit(1.0) / F.lit(float(n))).alias("rank")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
 
     # one action to seed the loop's dangling mass
     dangling = ranks.filter(F.col("outdeg") == 0).agg(
