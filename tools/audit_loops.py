@@ -197,6 +197,135 @@ def hashmin_round_plan(spark, P=4):
     return one_round(labels)
 
 
+def count_live_nodes(df, prefixes: tuple[str, ...]) -> dict[str, int]:
+    """Count live plan nodes by class-name prefix, skipping cached
+    subtrees (same walk as count_live_exchanges)."""
+    counts = {p: 0 for p in prefixes}
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name.startswith("InMemoryTableScan"):
+            return
+        for p in prefixes:
+            if name.startswith(p):
+                counts[p] += 1
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return counts
+
+
+def _hub_split_inputs(spark, P=4, threshold=50):
+    """Shared fixture for the hub-split steady audits: a synthetic graph
+    with its edges split into residual (co-partitioned) and hub
+    (balanced) tables, exactly as pagerank/labelprop do."""
+    from rad_ecg_spark.operators.skew import split_hub_edges
+    from rad_ecg_spark.sources.synth_graph import synth_edges
+
+    edges = (
+        synth_edges(spark, 100_000, partitions=P)
+        .repartition(P, "src")
+        .dropDuplicates(["src", "dst"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges.count()
+    residual, hub_edges, hub_ids = split_hub_edges(edges, threshold)
+    residual = residual.persist(StorageLevel.MEMORY_AND_DISK)
+    hub_edges = hub_edges.repartition(P).persist(StorageLevel.MEMORY_AND_DISK)
+    hub_ids = hub_ids.persist()
+    residual.count(), hub_edges.count(), hub_ids.count()
+    return edges, residual, hub_edges, hub_ids
+
+
+def pagerank_hubsplit_steady_plan(spark, P=4):
+    """One steady-state iteration of the hub-split PageRank path
+    (operators/pagerank.py hub_degree_threshold): residual keeps the
+    co-partitioned shuffle-hash join, hub edges join a BROADCAST rank
+    slice, the union feeds one partial-agg exchange. Expected: 1 live
+    shuffle exchange + broadcasts, no extra sort (r05 VERDICT #6)."""
+    edges, residual, hub_edges, hub_ids = _hub_split_inputs(spark, P)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(
+            edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")),
+            F.col("id") == F.col("src"),
+            "left",
+        )
+        .select("id", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+        .repartition(P, "id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = verts.count()
+    ranks = verts.select(
+        "id", "outdeg", (F.lit(1.0) / n).alias("rank")
+    ).localCheckpoint(eager=True)
+
+    def one_iter(ranks):
+        active = ranks.filter(F.col("outdeg") > 0)
+        hub_slice = active.join(F.broadcast(hub_ids), "id", "left_semi")
+        m_rest = residual.join(
+            active.hint("shuffle_hash"), residual.src == ranks.id
+        ).select(F.col("dst"), (F.col("rank") / F.col("outdeg")).alias("w"))
+        m_hub = hub_edges.join(
+            F.broadcast(hub_slice), hub_edges.src == F.col("id")
+        ).select(F.col("dst"), (F.col("rank") / F.col("outdeg")).alias("w"))
+        contribs = (
+            m_rest.unionByName(m_hub).groupBy("dst").agg(F.sum("w").alias("in_sum"))
+        )
+        newr = F.lit(0.15 / n) + F.lit(0.85) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+        return ranks.join(
+            contribs.hint("shuffle_hash"), ranks.id == contribs.dst, "left"
+        ).select(ranks.id, ranks.outdeg, newr.alias("rank"))
+
+    ranks = one_iter(ranks).localCheckpoint(eager=True)  # warm to steady state
+    return one_iter(ranks)
+
+
+def labelprop_hubsplit_steady_plan(spark, P=4):
+    """One steady-state round of the hub-split label-propagation path
+    (operators/labelprop.py hub_degree_threshold). Expected: 1 live
+    shuffle exchange + broadcasts, no extra sort (r05 VERDICT #6)."""
+    from rad_ecg_spark.operators.graph_core import vertices_of
+
+    edges, residual, hub_edges, hub_ids = _hub_split_inputs(spark, P)
+    labels = (
+        vertices_of(edges)
+        .select("id", F.col("id").alias("label"))
+        .repartition(P, "id")
+        .localCheckpoint(eager=True)
+    )
+
+    def one_round(labels):
+        hub_slice = labels.join(F.broadcast(hub_ids), "id", "left_semi")
+        m_rest = residual.join(
+            labels.hint("shuffle_hash"), residual.src == labels.id
+        ).select("dst", "label")
+        m_hub = hub_edges.join(
+            F.broadcast(hub_slice), hub_edges.src == F.col("id")
+        ).select("dst", "label")
+        counts = (
+            m_rest.unionByName(m_hub)
+            .repartition(P, "dst")
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = counts.groupBy("dst").agg(
+            F.min_by(
+                "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+            ).alias("new_label")
+        )
+        return labels.join(
+            best.hint("shuffle_hash"), labels.id == best.dst, "left"
+        ).select(labels.id, F.coalesce(F.col("new_label"), labels.label).alias("label"))
+
+    labels = one_round(labels).localCheckpoint(eager=True)  # warm to steady state
+    return one_round(labels)
+
+
 def main() -> None:
     from rad_ecg_spark.session import get_spark
 
@@ -215,13 +344,37 @@ def main() -> None:
         ("pagerank_steady_iteration", pagerank_iteration_plan(spark), 1),
         ("labelprop_steady_round", labelprop_round_plan(spark), 1),
         ("cc_hashmin_steady_round", hashmin_round_plan(spark), 1),
+        ("pagerank_hubsplit_steady", pagerank_hubsplit_steady_plan(spark), 1),
+        ("lp_hubsplit_steady", labelprop_hubsplit_steady_plan(spark), 1),
     ):
         n, hits = count_live_exchanges(df)
         ok = n <= budget
-        results.append((name, n, budget, hits, ok))
+        extra = ""
+        if name.endswith("hubsplit_steady"):
+            # r05 VERDICT #6: the split path adds broadcasts whose shape
+            # was asserted nowhere — budget them explicitly (<= 3: hub_ids
+            # semi-join build, hub slice, and at most one planner-chosen
+            # extra) and forbid sorts (no SMJ regressions in the loop).
+            nodes = count_live_nodes(df, ("BroadcastExchange", "Sort"))
+            extra = f"; broadcasts={nodes['BroadcastExchange']} sorts={nodes['Sort']}"
+            if nodes["BroadcastExchange"] > 3:
+                ok = False
+                extra += " (broadcast budget 3 exceeded)"
+            # min_by's struct buffer plans as a partial+final
+            # SortAggregate pair (2 sorts) + one sort under the final
+            # agg — measured equivalent to hash-aggregable rewrites
+            # (OPTIMIZATION_r06.md §12b); budget forbids anything MORE
+            # (e.g. a sort-merge join sneaking into the loop)
+            if nodes["Sort"] > 3:
+                ok = False
+                extra += " (sort budget 3 exceeded: SMJ in steady loop?)"
+        results.append((name, n, budget, hits if not extra else hits + [extra], ok))
         if not ok:
             failures.append(name)
-        print(("PASS " if ok else "FAIL ") + f"{name}: {n} live exchange(s) (budget {budget}): {hits}")
+        print(
+            ("PASS " if ok else "FAIL ")
+            + f"{name}: {n} live exchange(s) (budget {budget}): {hits}{extra}"
+        )
 
     lines = [
         "\n## Iterative-loop exchange audit (tools/audit_loops.py)\n",
