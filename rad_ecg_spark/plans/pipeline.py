@@ -217,10 +217,13 @@ def run_pipeline(
                 # re-raise would mask the original error)
                 import sys as _sys
 
+                # must be read BEFORE the try: inside the except block
+                # exc_info() would report close()'s own error
+                propagating = _sys.exc_info()[0] is not None
                 try:
                     ck.close()
                 except Exception:
-                    if _sys.exc_info()[0] is None:
+                    if not propagating:
                         raise
         summary["pagerank"] = {
             "iterations": st.iterations,
