@@ -82,14 +82,26 @@ def pinned_loop_conf(spark, shuffle_partitions: int | None = None):
     }
     if shuffle_partitions is not None:
         keys["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
-    old = {k: spark.conf.get(k, "true") for k in keys}
+    # capture via no-default get (returns the conf's own default when the
+    # session never set it) — a typed fallback string would be written
+    # back verbatim on restore and corrupt e.g. shuffle.partitions in
+    # sessions that rely on the built-in default
+    old: dict[str, str | None] = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
     for k, v in keys.items():
         spark.conf.set(k, v)
     try:
         yield
     finally:
         for k, v in old.items():
-            spark.conf.set(k, v)
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 
