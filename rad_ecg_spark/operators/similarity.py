@@ -27,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
 
 
 def _dot(a, b):
@@ -97,6 +98,142 @@ def hyperplanes(dim: int, n_tables: int, bits: int, seed: int = 42) -> list[list
     return rng.standard_normal((n_tables, bits, dim)).tolist()
 
 
+def _list_to_matrix(col, dim: int):
+    """pyarrow list<float> column -> (M, valid): M is the (n_valid, dim)
+    float64 matrix of the rows that are non-null, have exactly ``dim``
+    elements, and contain no null elements; valid is the length-n bool
+    mask of those rows. float32 -> float64 is exact, so M holds the same
+    doubles the JVM's ``x.cast("double")`` produces. Rows outside the
+    mask reproduce the expression path's null semantics at the caller
+    (null dot/d2 -> bucket 0 / cell 0 — probed against the JVM)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    valid = np.ones(n, dtype=bool)
+    if col.null_count:
+        valid &= np.asarray(col.is_valid())
+    offs = np.asarray(col.offsets).astype(np.int64)
+    valid &= (offs[1:] - offs[:-1]) == dim
+    cand = np.flatnonzero(valid)
+    idx = offs[cand][:, None] + np.arange(dim)
+    vals = col.values
+    vnp = vals.to_numpy(zero_copy_only=False)
+    if vals.null_count:
+        ok = np.asarray(vals.is_valid())[idx].all(axis=1)
+        cand, idx = cand[ok], idx[ok]
+    M = vnp[idx].astype(np.float64)
+    valid = np.zeros(n, dtype=bool)
+    valid[cand] = True
+    return M, valid
+
+
+def _acc_dots(M: np.ndarray, P: np.ndarray) -> np.ndarray:
+    """Left-assoc accumulated dot products: out[r, d] = fold over j of
+    acc + M[r, j] * P[j, d], starting at 0.0 — the exact per-element op
+    sequence of ``_dot``'s aggregate(zip_with) (no FMA, no pairwise
+    summation), so every double is bit-identical to the JVM fold."""
+    out = np.zeros((M.shape[0], P.shape[1]))
+    for j in range(M.shape[1]):
+        out += M[:, j : j + 1] * P[j]
+    return out
+
+
+def _acc_d2(M: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Left-assoc accumulated squared distances to each centroid row of
+    C: same bit-exact-order contract as ``_acc_dots`` but for
+    ``_cell_structs``'s (x - c)^2 fold."""
+    out = np.zeros((M.shape[0], C.shape[0]))
+    for j in range(M.shape[1]):
+        diff = M[:, j : j + 1] - C[:, j]
+        out += diff * diff
+    return out
+
+
+def _with_band_buckets(df: DataFrame, vec_col: str, planes) -> DataFrame:
+    """Append ``buckets`` (array<long>, one bucket per LSH table) via a
+    vectorized Arrow pass — the result is bit-identical to
+    ``band_buckets`` (same fold order; NaN dot sets the bit exactly like
+    Spark's ``NaN >= 0`` = true; null/ragged rows get bucket 0 in every
+    table) but skips both the O(tables*bits*dim)-node Catalyst tree and
+    its interpreted per-row evaluation (guide §4.2: vectorized Arrow
+    beats interpreted expression folds)."""
+    planes_arr = np.asarray(planes, dtype=np.float64)  # (T, B, D)
+    n_tables, bits, dim = planes_arr.shape
+    P = planes_arr.reshape(n_tables * bits, dim).T.copy()  # (D, T*B)
+    weights = np.int64(1) << np.arange(bits, dtype=np.int64)
+    out_schema = StructType(
+        df.schema.fields + [StructField("buckets", ArrayType(LongType()), False)]
+    )
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            M, valid = _list_to_matrix(batch.column(vec_col), dim)
+            dots = _acc_dots(M, P)
+            # Spark evaluates `dot >= 0` as TRUE for NaN (NaN sorts/compares
+            # greater than any double); numpy says False — OR the NaN mask in.
+            hits = (dots >= 0) | np.isnan(dots)
+            bk = (hits.reshape(-1, n_tables, bits) * weights).sum(axis=2)
+            buckets = np.zeros((n, n_tables), dtype=np.int64)
+            buckets[valid] = bk
+            arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * n_tables, n_tables, dtype=np.int32)),
+                pa.array(buckets.reshape(-1)),
+            )
+            yield batch.append_column("buckets", arr)
+
+    return df.mapInArrow(gen, out_schema)
+
+
+def _with_cells(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], nprobe: int | None
+) -> DataFrame:
+    """Append the IVF cell assignment via a vectorized Arrow pass,
+    bit-identical to the ``_cell_structs`` + array_sort expression path:
+    d2 folds in the same left-assoc order, ties broken toward the
+    smaller cell id (np first-occurrence argmin / stable argsort = the
+    struct sort's (d2, cell) tie-break), all-NaN/all-Inf rows and
+    null/ragged rows land in cell 0 exactly like the JVM (probed).
+    nprobe=None appends ``cell`` (int, the argmin); nprobe=k appends
+    ``cells`` (array<int>, the k nearest cells in probe order)."""
+    C = np.asarray(centroids, dtype=np.float64)  # (K, D)
+    n_cells, dim = C.shape
+    col_name = "cell" if nprobe is None else "cells"
+    out_type = IntegerType() if nprobe is None else ArrayType(IntegerType(), False)
+    out_schema = StructType(df.schema.fields + [StructField(col_name, out_type, False)])
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            M, valid = _list_to_matrix(batch.column(vec_col), dim)
+            d2 = _acc_d2(M, C)
+            if nprobe is None:
+                # NaN can only poison ALL cells (centroids are finite), and
+                # argmin of an all-NaN row is 0 = the JVM's all-ties answer.
+                cells = np.zeros(n, dtype=np.int32)
+                cells[valid] = np.argmin(d2, axis=1).astype(np.int32)
+                yield batch.append_column("cell", pa.array(cells))
+            else:
+                top = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+                cells = np.broadcast_to(
+                    np.arange(nprobe, dtype=np.int32), (n, nprobe)
+                ).copy()
+                cells[valid] = top.astype(np.int32)
+                arr = pa.ListArray.from_arrays(
+                    pa.array(np.arange(0, (n + 1) * nprobe, nprobe, dtype=np.int32)),
+                    pa.array(cells.reshape(-1)),
+                )
+                yield batch.append_column("cells", arr)
+
+    return df.mapInArrow(gen, out_schema)
+
+
 def band_buckets(vec_col, planes: list[list[list[float]]]):
     """Array of (table_id, bucket) structs: bucket bit i of table t is
     sign(v · p_ti). All JVM expressions (zip_with/aggregate folds)."""
@@ -119,14 +256,36 @@ def _bucketed(
     vec_col: str,
     planes,
     max_bucket: int | None,
+    arrow: bool = False,
 ) -> DataFrame:
     """(id, vec, tid, bucket) rows, one per LSH table, with mega-buckets
-    (> max_bucket members) dropped — bounds every join task."""
-    b = vectors.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.explode(band_buckets(F.col(vec_col), planes)).alias("tb"),
-    ).select("id", "vec", F.col("tb.tid").alias("tid"), F.col("tb.bucket").alias("bucket"))
+    (> max_bucket members) dropped — bounds every join task.
+
+    ``arrow=True`` computes the buckets with the vectorized
+    ``_with_band_buckets`` pass (bit-identical; see its docstring) —
+    right for single-reference consumers like ``lsh_ann_topk``, where it
+    replaces the O(tables*bits*dim) Catalyst tree wholesale (measured
+    2x on the declared query). ``arrow=False`` keeps the pure JVM
+    expression path — right for ``embedding_neardup_pairs``, whose
+    self-join + mega-bucket filter reference this subtree three times:
+    re-evaluating the codegen'd expressions is cheaper than three
+    Python boundary crossings or a checkpoint barrier (A/B'd at sf0.1:
+    JVM 1.36 s vs Arrow 2.2 s / Arrow+checkpoint 3.3 s — the query's
+    cost is fixed overhead, not bucket math, at every bench scale)."""
+    if arrow:
+        b = _with_band_buckets(
+            vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+            "vec",
+            planes,
+        ).select("id", "vec", F.posexplode("buckets").alias("tid", "bucket"))
+    else:
+        b = vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.explode(band_buckets(F.col(vec_col), planes)).alias("tb"),
+        ).select(
+            "id", "vec", F.col("tb.tid").alias("tid"), F.col("tb.bucket").alias("bucket")
+        )
     if max_bucket is not None:
         sizes = b.groupBy("tid", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
         b = b.join(
@@ -155,8 +314,8 @@ def lsh_ann_topk(
     candidates per query ≈ n_tables * n / 2^bits, never O(n)."""
     dim = _dim_of(vectors, vec_col, dim)
     planes = hyperplanes(dim, n_tables, bits, seed)
-    v = _bucketed(vectors, id_col, vec_col, planes, max_bucket)
-    q = _bucketed(queries, id_col, vec_col, planes, max_bucket=None).select(
+    v = _bucketed(vectors, id_col, vec_col, planes, max_bucket, arrow=True)
+    q = _bucketed(queries, id_col, vec_col, planes, max_bucket=None, arrow=True).select(
         F.col("id").alias("qid"), F.col("vec").alias("qvec"), "tid", "bucket"
     )
     cand = (
@@ -315,36 +474,20 @@ def ivf_fixed_topk(
     become pure JVM expressions, so the whole operator is
     SQL-expressible and carries a full DuckDB oracle — the correctness
     twin of ``ivf_topk`` (which fits its quantizer). Same scale shape:
-    map-side assignment, broadcast probe, equi-join on cell id."""
-    # coalesce(-1): the assignment expression is nullable (GetArrayItem),
-    # so the equi-join would inject IsNotNull(cell) and the optimizer
-    # pushes that filter BELOW the exchange — duplicating the whole
-    # n_cells x dim d2 computation onto the (serial, single-row-group)
-    # scan side (guide §4.4's duplicated-expensive-expression problem,
-    # via join null-rejection). A non-nullable key generates no filter;
-    # a null embedding maps to cell -1, which matches no probe — the
-    # same rows are dropped either way.
-    v = vectors.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vvec")
-    ).withColumn(
-        "cell",
-        F.coalesce(
-            F.array_sort(F.array(*_cell_structs(F.col("vvec"), centroids)))[0]["cell"],
-            F.lit(-1),
-        ),
+    map-side assignment, broadcast probe, equi-join on cell id.
+
+    Assignment and probe run as vectorized Arrow passes (``_with_cells``)
+    bit-identical to the `_cell_structs` expression path — see that
+    helper for the fold-order / tie-break / null-semantics contract."""
+    v = _with_cells(
+        vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vvec")),
+        "vvec",
+        centroids,
+        nprobe=None,
     )
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
-    probe = (
-        q.select(
-            "qid", "qvec",
-            F.explode(
-                F.slice(
-                    F.array_sort(F.array(*_cell_structs(F.col("qvec"), centroids))),
-                    1, nprobe,
-                )
-            ).alias("pc"),
-        )
-        .select("qid", "qvec", F.col("pc.cell").alias("cell"))
+    probe = _with_cells(q, "qvec", centroids, nprobe=nprobe).select(
+        "qid", "qvec", F.explode("cells").alias("cell")
     )
     scored = (
         v.join(F.broadcast(probe), "cell")

@@ -401,3 +401,139 @@ class TestBpeTokens:
                df.select("id", n_tokens_bpe(F.col("text")).alias("n")).collect()}
         # one space attaches to the next token; extra runs are dropped
         assert got == {1: 2, 2: 2, 3: 2}
+
+
+class TestArrowFoldEquivalence:
+    """The vectorized Arrow passes behind lsh_ann_topk/ivf_fixed_topk
+    (_with_band_buckets / _with_cells) must be BIT-identical to the JVM
+    expression path (band_buckets / _cell_structs + array_sort) — the
+    declared queries carry exact DuckDB oracles mirroring the expression
+    fold order, so any drift here is a correctness regression, not just
+    a perf bug. Edge rows cover the probed JVM semantics: null array and
+    null element -> bucket 0 / cell 0; NaN dot -> bit set (Spark's
+    NaN >= 0 is true); all-Inf d2 ties -> cell 0; ragged lengths ->
+    null fold -> bucket 0 / cell 0."""
+
+    DIM = 8
+
+    def _edge_df(self, spark):
+        from pyspark.sql.types import (
+            ArrayType, DoubleType, LongType, StructField, StructType,
+        )
+
+        d = self.DIM
+        rows = [
+            (0, [float(i) - 3.0 for i in range(d)]),
+            (1, None),
+            (2, [0.0] * 3 + [None] + [0.0] * (d - 4)),
+            (3, [float("nan")] + [0.0] * (d - 1)),
+            (4, [float("inf")] + [0.0] * (d - 1)),
+            (5, [-0.0] * d),
+            (6, [0.5] * d),
+            (7, [1.0, 2.0]),                    # ragged: too short
+            (8, [float(i) for i in range(d + 4)]),  # ragged: too long
+        ]
+        schema = StructType([
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType(), True), True),
+        ])
+        return spark.createDataFrame(rows, schema)
+
+    def test_band_buckets_bit_identical(self, spark):
+        from rad_ecg_spark.operators import similarity as S
+
+        planes = S.hyperplanes(self.DIM, 3, 5, 42)
+        df = self._edge_df(spark)
+        jvm = sorted(
+            tuple(r)
+            for r in df.select(
+                "vec_id", F.explode(S.band_buckets(F.col("embedding"), planes)).alias("tb")
+            ).select("vec_id", "tb.tid", "tb.bucket").collect()
+        )
+        arrow = sorted(
+            tuple(r)
+            for r in S._with_band_buckets(
+                df.select("vec_id", "embedding"), "embedding", planes
+            ).select("vec_id", F.posexplode("buckets").alias("tid", "bucket")).collect()
+        )
+        assert arrow == jvm
+
+    def test_ivf_cells_and_probe_bit_identical(self, spark):
+        from rad_ecg_spark.operators import similarity as S
+
+        cents = S.ivf_centroids(self.DIM, 4, 11)
+        df = self._edge_df(spark)
+        jvm_cell = sorted(
+            tuple(r)
+            for r in df.select(
+                "vec_id",
+                F.coalesce(
+                    F.array_sort(
+                        F.array(*S._cell_structs(F.col("embedding"), cents))
+                    )[0]["cell"],
+                    F.lit(-1),
+                ).alias("cell"),
+            ).collect()
+        )
+        arrow_cell = sorted(
+            tuple(r)
+            for r in S._with_cells(
+                df.select("vec_id", "embedding"), "embedding", cents, nprobe=None
+            ).select("vec_id", "cell").collect()
+        )
+        assert arrow_cell == jvm_cell
+
+        jvm_probe = sorted(
+            tuple(r)
+            for r in df.select(
+                "vec_id",
+                F.explode(
+                    F.slice(
+                        F.array_sort(F.array(*S._cell_structs(F.col("embedding"), cents))),
+                        1, 2,
+                    )
+                ).alias("pc"),
+            ).select("vec_id", F.col("pc.cell").alias("cell")).collect()
+        )
+        arrow_probe = sorted(
+            tuple(r)
+            for r in S._with_cells(
+                df.select("vec_id", "embedding"), "embedding", cents, nprobe=2
+            ).select("vec_id", F.explode("cells").alias("cell")).collect()
+        )
+        assert arrow_probe == jvm_probe
+
+    def test_float32_data_bit_identical(self, spark):
+        """Registry embeddings are float32; the Arrow path's
+        float32 -> float64 conversion must land on the same doubles as
+        the JVM's cast(float as double) before the fold."""
+        from pyspark.sql.types import (
+            ArrayType, FloatType, LongType, StructField, StructType,
+        )
+
+        from rad_ecg_spark.operators import similarity as S
+
+        rng = np.random.default_rng(7)
+        rows = [
+            (i, [float(np.float32(x)) for x in rng.standard_normal(self.DIM)])
+            for i in range(64)
+        ]
+        schema = StructType([
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType(), True), True),
+        ])
+        df = spark.createDataFrame(rows, schema)
+        planes = S.hyperplanes(self.DIM, 2, 6, 42)
+        jvm = sorted(
+            tuple(r)
+            for r in df.select(
+                "vec_id", F.explode(S.band_buckets(F.col("embedding"), planes)).alias("tb")
+            ).select("vec_id", "tb.tid", "tb.bucket").collect()
+        )
+        arrow = sorted(
+            tuple(r)
+            for r in S._with_band_buckets(
+                df.select("vec_id", "embedding"), "embedding", planes
+            ).select("vec_id", F.posexplode("buckets").alias("tid", "bucket")).collect()
+        )
+        assert arrow == jvm
