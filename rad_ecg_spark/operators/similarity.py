@@ -202,6 +202,9 @@ def _with_cells(
     ``cells`` (array<int>, the k nearest cells in probe order)."""
     C = np.asarray(centroids, dtype=np.float64)  # (K, D)
     n_cells, dim = C.shape
+    if nprobe is not None:
+        # the JVM slice() returns at most n_cells structs — mirror it
+        nprobe = min(nprobe, n_cells)
     col_name = "cell" if nprobe is None else "cells"
     out_type = IntegerType() if nprobe is None else ArrayType(IntegerType(), False)
     out_schema = StructType(df.schema.fields + [StructField(col_name, out_type, False)])
