@@ -205,7 +205,13 @@ def _hashmin(edges, verts, max_rounds, num_partitions):
         .dropDuplicates(["src", "dst"])
         .persist()
     )
-    sym.count()
+    # lazy persist: round 1's message join materializes sym ONCE
+    # (persist locking) through the caller's cached edges — a dedicated
+    # count() here was a pure 2|E| barrier job (same fusion as
+    # triangle_count; labels above is lazy for the same reason). sym
+    # holds no upstream cache hostage: edges stays cached for the
+    # hybrid quotient regardless, and sym.unpersist() after the loop is
+    # unchanged.
     converged = False
     for _ in range(max_rounds):
         # min over neighbors of dst: sym is symmetric, so grouping the
