@@ -536,7 +536,10 @@ def dup_clusters(
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .persist()
     )
-    verified.count()
+    # lazy persist: connected_components' own sizing count materializes
+    # verified exactly once (persist locking) while filling its edge
+    # cache — a dedicated verified.count() was a pure extra pass over
+    # the candidates+verify chain (same fusion as triangle_count/CC).
     # hybrid = capped hashmin then star-on-contraction: measured 3.7x
     # faster than pure star on the sf0.01 pair graph (7.6 vs 28.3 s)
     # and it keeps star's worst-case round bound on chain-shaped
